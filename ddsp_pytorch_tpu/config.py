@@ -1,0 +1,157 @@
+"""Typed configuration system.
+
+The reference threads a raw YAML dict with ``data`` / ``preprocess`` /
+``model`` / ``train`` sections through every layer (reference config.yaml:1-28,
+train.py:27-28) and mutates it at runtime (loudness stats injected at
+train.py:53-55).  Here the same YAML section structure is kept — configs
+written for the reference load unchanged — but behind frozen-ish dataclasses
+with explicit fields, plus a new ``mesh`` section for the TPU parallelism
+layer the reference does not have.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class DataConfig:
+    """Reference config.yaml:1-3 (`data:` section)."""
+
+    data_location: str = "./data"
+    extension: str = "wav"
+    # Dataset loudness statistics.  The reference injects these into the
+    # config dict at train time (train.py:53-55) so export can bake them into
+    # the deployed model (export.py:29-30); here they are first-class fields.
+    mean_loudness: Optional[float] = None
+    std_loudness: Optional[float] = None
+
+
+@dataclass
+class PreprocessConfig:
+    """Reference config.yaml:5-11 (`preprocess:` section)."""
+
+    sample_rate: int = 48000
+    signal_length: int = 192000
+    block_size: int = 512
+    oneshot: bool = False
+    out_dir: str = "./cache"
+    # Feature-extraction knobs that were hard-coded in the reference
+    # (preprocess.py:30-32: n_mfcc=30, n_fft=1024, fmin=20, fmax=8000,
+    # n_mels=128; core.py:81: loudness n_fft=2048).
+    n_mfcc: int = 30
+    mfcc_n_fft: int = 1024
+    mfcc_fmin: float = 20.0
+    mfcc_fmax: float = 8000.0
+    n_mels: int = 128
+    loudness_n_fft: int = 2048
+    # Pitch tracker configuration (the reference shells out to CREPE,
+    # core.py:100-119; we ship a JAX YIN+Viterbi tracker, ops/pitch.py).
+    pitch_fmin: float = 50.0
+    pitch_fmax: float = 2000.0
+
+
+@dataclass
+class ModelConfig:
+    """Reference config.yaml:13-21 (`model:` section): registry name + kwargs."""
+
+    name: str = "single-inst-decoder"
+    kwargs: Dict[str, Any] = field(
+        default_factory=lambda: {
+            "hidden_size": 512,
+            "n_harmonic": 64,
+            "n_bands": 65,
+            "sample_rate": 48000,
+            "block_size": 512,
+            "has_reverb": True,
+        }
+    )
+
+
+@dataclass
+class TrainConfig:
+    """Reference config.yaml:23-28 (`train:` section) + TPU-era additions."""
+
+    scales: List[int] = field(default_factory=lambda: [4096, 2048, 1024, 512, 256, 128])
+    overlap: float = 0.75
+    batch: int = 16
+    lr: float = 1.0e-3
+    steps: int = 500000
+    # New fields (absent in the reference; defaults preserve its behavior).
+    seed: int = 0
+    val_interval_epochs: int = 10  # reference train.py:17
+    log_interval_epochs: int = 1  # reference train.py:16
+    checkpoint_every_steps: int = 2000
+    keep_checkpoints: int = 3
+    # bf16 matmuls for the NN (decoder/encoder); DSP synthesis stays f32
+    # (phase accumulation requires it — SURVEY.md §7 hard part #2).
+    use_bf16: bool = False
+    grad_clip_norm: Optional[float] = None
+
+
+@dataclass
+class MeshConfig:
+    """TPU parallelism section (no reference analogue — SURVEY.md §2.7).
+
+    ``data`` × ``time`` device mesh: the batch/voice axis is sharded over
+    ``data``; the sample/time axis of long audio can be sharded over ``time``
+    (halo-exchange convolutions + distributed phase scan, parallel/ops.py).
+    Values of -1 mean "use all remaining devices".
+    """
+
+    data: int = -1
+    time: int = 1
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------ io
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        """Build from a raw (reference-style) YAML dict; unknown keys in each
+        section are ignored so reference configs load as-is."""
+
+        def build(dc_cls, section):
+            if section is None:
+                return dc_cls()
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            return dc_cls(**{k: v for k, v in section.items() if k in names})
+
+        return cls(
+            data=build(DataConfig, raw.get("data")),
+            preprocess=build(PreprocessConfig, raw.get("preprocess")),
+            model=build(ModelConfig, raw.get("model")),
+            train=build(TrainConfig, raw.get("train")),
+            mesh=build(MeshConfig, raw.get("mesh")),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw or {})
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f)
+
+    # ------------------------------------------------------------- helpers
+    @property
+    def n_frames(self) -> int:
+        return self.preprocess.signal_length // self.preprocess.block_size
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,139 @@
+"""Offline preprocessing: wav files → .npy feature cache.
+
+Parity: reference ddsp/preprocess.py — load at sample_rate, pad to a multiple
+of signal_length (or crop to one chunk if oneshot), extract pitch +
+A-weighted loudness + 30 MFCCs, chunk and save
+{signals,pitchs,loudness,mfccs}.npy per partition.
+
+Intent fixes vs. the reference (SURVEY.md §2.8.4): MFCCs are computed and
+saved *per chunk* (the reference stacks per-file MFCCs while chunking
+signals, which only lines up when every file is exactly one chunk).
+
+Pitch runs on-device (JAX YIN+Viterbi, ops/pitch.py) instead of shelling out
+to CREPE/TensorFlow; loudness and MFCC are the JAX ops.  Chunks are batched
+through jit so TPU preprocessing is one vectorized pass per file.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from os import makedirs, path
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ddsp_pytorch_tpu.config import Config
+from ddsp_pytorch_tpu.ops import extract_loudness, extract_pitch, mfcc as mfcc_op
+from ddsp_pytorch_tpu.utils.audio_io import load_wav
+
+
+def get_files(data_location, extension: str = "wav") -> List[pathlib.Path]:
+    """Recursive glob of audio files by extension (preprocess.py:15-16)."""
+    return sorted(pathlib.Path(data_location).rglob(f"*.{extension}"))
+
+
+def preprocess(
+    f,
+    sample_rate: int,
+    block_size: int,
+    signal_length: int,
+    oneshot: bool = False,
+    pitch_fmin: float = 50.0,
+    pitch_fmax: float = 2000.0,
+    n_mfcc: int = 30,
+    mfcc_n_fft: int = 1024,
+    mfcc_fmin: float = 20.0,
+    mfcc_fmax: float = 8000.0,
+    n_mels: int = 128,
+    loudness_n_fft: int = 2048,
+    **_unused,
+):
+    """One file → (signals (N, L), pitch (N, F), loudness (N, F),
+    mfcc (N, F+1, n_mfcc)) chunk rows."""
+    x, _ = load_wav(str(f), sample_rate)
+    pad = (signal_length - len(x) % signal_length) % signal_length
+    x = np.pad(x, (0, pad))
+    if oneshot:
+        x = x[:signal_length]
+
+    chunks = x.reshape(-1, signal_length)
+    xj = jnp.asarray(chunks)
+
+    pitch = np.stack(
+        [
+            np.asarray(
+                extract_pitch(
+                    row, sample_rate, block_size, fmin=pitch_fmin, fmax=pitch_fmax
+                )
+            )
+            for row in xj
+        ]
+    )
+    loudness = np.asarray(
+        extract_loudness(xj, sample_rate, block_size, loudness_n_fft)
+    )
+    mfcc = np.asarray(
+        mfcc_op(
+            xj,
+            sample_rate,
+            n_mfcc=n_mfcc,
+            n_fft=mfcc_n_fft,
+            hop_length=block_size,
+            fmin=mfcc_fmin,
+            fmax=mfcc_fmax,
+            n_mels=n_mels,
+        )
+    )
+    return (
+        chunks.astype(np.float32),
+        pitch.astype(np.float32),
+        loudness.astype(np.float32),
+        mfcc.astype(np.float32),
+    )
+
+
+def preprocess_folder(root_dir, partition: str, config: Config) -> None:
+    """Process every file under root_dir/partition into the .npy cache."""
+    root_dir = pathlib.Path(root_dir)
+    src = root_dir / partition
+    assert src.exists(), f"{src} does not exist"
+    files = get_files(src, config.data.extension)
+
+    pc = config.preprocess
+    signals, pitchs, loudness, mfccs = [], [], [], []
+    for i, f in enumerate(files):
+        print(f"[{i + 1}/{len(files)}] {f}")
+        x, p, l, m = preprocess(
+            f,
+            sample_rate=pc.sample_rate,
+            block_size=pc.block_size,
+            signal_length=pc.signal_length,
+            oneshot=pc.oneshot,
+            pitch_fmin=pc.pitch_fmin,
+            pitch_fmax=pc.pitch_fmax,
+            n_mfcc=pc.n_mfcc,
+            mfcc_n_fft=pc.mfcc_n_fft,
+            mfcc_fmin=pc.mfcc_fmin,
+            mfcc_fmax=pc.mfcc_fmax,
+            n_mels=pc.n_mels,
+            loudness_n_fft=pc.loudness_n_fft,
+        )
+        signals.append(x)
+        pitchs.append(p)
+        loudness.append(l)
+        mfccs.append(m)
+
+    out_dir = path.join(pc.out_dir, partition)
+    makedirs(out_dir, exist_ok=True)
+    np.save(path.join(out_dir, "signals.npy"), np.concatenate(signals, 0))
+    np.save(path.join(out_dir, "pitchs.npy"), np.concatenate(pitchs, 0))
+    np.save(path.join(out_dir, "loudness.npy"), np.concatenate(loudness, 0))
+    np.save(path.join(out_dir, "mfccs.npy"), np.concatenate(mfccs, 0))
+
+
+def main(config_path: str = "configs/config.yaml") -> None:
+    config = Config.from_yaml(config_path)
+    root_dir = pathlib.Path(config.data.data_location)
+    for partition in ("train", "validation"):
+        preprocess_folder(root_dir, partition, config)

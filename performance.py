@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Synthesis benchmark CLI (parity: reference performance.py).
+
+Protocol (performance.py:21-41): synthesize N = 2^ceil(log2(sample_rate))
+samples (~1 s) from random control inputs, average wall-clock over --n-run
+runs, report milliseconds and ×-realtime.
+
+``python performance.py --bundle export/ddsp_NAME_bundle [--n-run 10]``
+With no bundle, benchmarks a freshly-initialized default model (the
+reference requires a trained artifact; random weights exercise the same
+compute graph).
+"""
+
+import argparse
+import math
+import time
+
+
+def run_benchmark(bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.models import load_model
+    from ddsp_pytorch_tpu.streaming import StreamingSynth
+
+    if bundle is not None:
+        from ddsp_pytorch_tpu.export import load_bundle
+
+        model, params, config = load_bundle(bundle)
+    else:
+        config = Config()
+        config.model.kwargs["use_pallas"] = use_pallas
+        model = load_model(config)
+        rng = jax.random.PRNGKey(0)
+        f = config.n_frames
+        init_batch = {
+            "sig": jnp.zeros((1, config.preprocess.signal_length)),
+            "pitch": jnp.full((1, f, 1), 200.0),
+            "loudness": jnp.zeros((1, f, 1)),
+        }
+        params = model.init({"params": rng, "noise": rng}, init_batch)["params"]
+
+    sr = int(config.preprocess.sample_rate)
+    synth = StreamingSynth(
+        model,
+        params,
+        mean_loudness=config.data.mean_loudness or 0.0,
+        std_loudness=config.data.std_loudness or 1.0,
+        batch=batch,
+    )
+
+    n = 2 ** math.ceil(math.log2(sr))
+    n = (n // synth.block_size) * synth.block_size
+    rng = np.random.default_rng(0)
+    pitch = rng.uniform(100, 400, (batch, n)).astype(np.float32)
+    loud = rng.standard_normal((batch, n)).astype(np.float32)
+
+    # warmup (compile)
+    jax.block_until_ready(synth.step_samples(pitch, loud))
+
+    mean = 0.0
+    for i in range(n_run):
+        st = time.perf_counter()
+        out = synth.step_samples(pitch, loud)
+        jax.block_until_ready(out)
+        mean += (time.perf_counter() - st - mean) / (i + 1)
+
+    realtime = batch * n / (mean * sr)
+    return {
+        "mean_ms": 1000 * mean,
+        "audio_ms": 1000 * n / sr,
+        "x_realtime": realtime,
+        "samples_per_s": batch * n / mean,
+        "batch": batch,
+        "sample_rate": sr,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--bundle", default=None)
+    p.add_argument("--n-run", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1)
+    args = p.parse_args()
+
+    r = run_benchmark(args.bundle, args.n_run, args.batch)
+    smiley = ":)" if r["x_realtime"] >= 1 else ":("
+    print(
+        f"average of {r['mean_ms']:.2f}ms to generate {r['audio_ms']:.2f}ms "
+        f"over {args.n_run} trials (batch {r['batch']})"
+    )
+    print(f"generation is {r['x_realtime']:.2f}x realtime {smiley}")
+    print(80 * "-")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Preprocessing CLI (parity: reference ddsp/preprocess.py main).
+
+``python preprocess.py --config configs/config.yaml`` processes the
+``train`` and ``validation`` partitions under data.data_location into the
+.npy feature cache at preprocess.out_dir.
+
+``--from-sigmund file.wav`` instead ingests a Pd-recorded 3-channel wav
+(audio/pitch/loudness — reference preprocess_from_sigmund.py).
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="configs/config.yaml")
+    p.add_argument("--from-sigmund", default=None, metavar="WAV")
+    p.add_argument("--partition", default=None)
+    args = p.parse_args()
+
+    from ddsp_pytorch_tpu.config import Config
+
+    config = Config.from_yaml(args.config)
+
+    if args.from_sigmund:
+        from ddsp_pytorch_tpu.data.sigmund import preprocess_from_sigmund
+
+        preprocess_from_sigmund(args.from_sigmund, config, args.partition)
+        return
+
+    from pathlib import Path
+
+    from ddsp_pytorch_tpu.data.preprocess import preprocess_folder
+
+    root = Path(config.data.data_location)
+    for partition in ("train", "validation"):
+        preprocess_folder(root, partition, config)
+
+
+if __name__ == "__main__":
+    main()

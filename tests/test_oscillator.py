@@ -1,0 +1,182 @@
+"""Oscillator bank: frame-factored path vs literal cumsum oracle, phase
+continuity for streaming, gradients, and the Pallas kernel (interpret mode).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_pytorch_tpu.ops import (
+    harmonic_synth,
+    harmonic_synth_frames,
+    phase_accumulate_frames,
+    upsample,
+)
+from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import harmonic_synth_pallas
+
+
+def _oracle_f64(f0_frames, amp_frames, block, sr):
+    """Literal reference math (cumsum over samples) in float64."""
+    f0 = np.repeat(np.asarray(f0_frames, np.float64), block, axis=1)
+    amp = np.repeat(np.asarray(amp_frames, np.float64), block, axis=1)
+    omega = np.cumsum(2 * np.pi * f0 / sr, axis=1)  # (B, T)
+    k = np.arange(1, amp.shape[-1] + 1)
+    return (np.sin(omega[..., None] * k) * amp).sum(-1)
+
+
+@pytest.fixture
+def controls(rng):
+    b, f, k, block, sr = 2, 25, 8, 64, 16000
+    f0 = rng.uniform(100, 400, (b, f)).astype(np.float32)
+    amp = (rng.random((b, f, k)) / k).astype(np.float32)
+    return f0, amp, block, sr
+
+
+def test_frames_path_matches_literal_oracle(controls):
+    f0, amp, block, sr = controls
+    got = harmonic_synth_frames(
+        jnp.asarray(f0), jnp.asarray(amp), block, sr, use_pallas="never"
+    )
+    want = _oracle_f64(f0, amp, block, sr)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sample_rate_api_matches_oracle(controls):
+    f0, amp, block, sr = controls
+    f0_up = upsample(jnp.asarray(f0)[..., None], block)
+    amp_up = upsample(jnp.asarray(amp), block)
+    got = harmonic_synth(f0_up, amp_up, sr)[..., 0]
+    want = _oracle_f64(f0, amp, block, sr)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_long_sequence_phase_accuracy():
+    """f32 phase over ~4 s must stay accurate thanks to mod-2π wrapping.
+
+    The literal f32 cumsum (reference behavior) accumulates error over 192k
+    samples; the frame-factored wrapped path must beat it against an f64
+    oracle.
+    """
+    sr, block, f = 16000, 160, 500  # 5 s
+    b = 1
+    f0 = np.full((b, f), 311.3, np.float32)
+    amp = np.ones((b, f, 1), np.float32)
+    got = np.asarray(
+        harmonic_synth_frames(
+            jnp.asarray(f0), jnp.asarray(amp), block, sr, use_pallas="never"
+        )
+    )
+    want = _oracle_f64(f0, amp, block, sr)
+    err = np.abs(got - want).max()
+    assert err < 1e-3, f"phase drift too large: {err}"
+
+
+def test_phase_carry_streaming_equivalence(controls):
+    """Synthesizing in two chunks with a phase carry equals one shot."""
+    f0, amp, block, sr = controls
+    full = harmonic_synth_frames(
+        jnp.asarray(f0), jnp.asarray(amp), block, sr, use_pallas="never"
+    )
+    half = f0.shape[1] // 2
+    a1, ph = harmonic_synth_frames(
+        jnp.asarray(f0[:, :half]),
+        jnp.asarray(amp[:, :half]),
+        block,
+        sr,
+        return_phase=True,
+        use_pallas="never",
+    )
+    a2 = harmonic_synth_frames(
+        jnp.asarray(f0[:, half:]),
+        jnp.asarray(amp[:, half:]),
+        block,
+        sr,
+        phase0=ph,
+        use_pallas="never",
+    )
+    streamed = jnp.concatenate([a1, a2], axis=-1)
+    np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+
+def test_gradients_flow_and_are_finite(controls):
+    f0, amp, block, sr = controls
+
+    def loss(f0_, amp_):
+        y = harmonic_synth_frames(f0_, amp_, block, sr, use_pallas="never")
+        return jnp.sum(jnp.square(y))
+
+    g_f0, g_amp = jax.grad(loss, argnums=(0, 1))(jnp.asarray(f0), jnp.asarray(amp))
+    assert np.all(np.isfinite(g_f0)) and np.all(np.isfinite(g_amp))
+    assert float(jnp.abs(g_amp).max()) > 0
+
+
+def test_nyquist_masked_harmonics_produce_no_aliasing(rng):
+    """Property test: with the anti-alias mask no energy appears above
+    Nyquist-folded frequencies (SURVEY.md §4 property test #2)."""
+    from ddsp_pytorch_tpu.ops import remove_above_nyquist
+
+    sr, block, f = 8000, 64, 64
+    f0v = 950.0  # harmonics 5+ are ≥ 4750 ≥ Nyquist
+    f0 = jnp.full((1, f), f0v, jnp.float32)
+    amp = jnp.ones((1, f, 8), jnp.float32)
+    amp = remove_above_nyquist(amp, f0[..., None], sr)
+    y = np.asarray(
+        harmonic_synth_frames(f0, amp, block, sr, use_pallas="never")
+    )[0]
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    freqs = np.fft.rfftfreq(len(y), 1 / sr)
+    kept = spec[np.abs(freqs - f0v) < 50].max()
+    # masked harmonics k=5..8 fold to |k*950 mod 8000 reflected|:
+    # 4750→3250, 5700→2300, 6650→1350, 7600→400 — none coincide with kept
+    # harmonics (950k). Energy there must be ≥ ~40 dB down (mask = 1e-4).
+    for folded in (3250.0, 2300.0, 1350.0, 400.0):
+        aliased = spec[np.abs(freqs - folded) < 50].max()
+        assert aliased < kept * 1e-2, f"alias energy at {folded} Hz"
+
+
+# ------------------------------------------------------------------ pallas
+
+
+class TestPallasKernel:
+    def _run(self, f0, amp, block, sr):
+        phi, _ = phase_accumulate_frames(jnp.asarray(f0), block, sr)
+        return harmonic_synth_pallas(
+            jnp.asarray(f0), jnp.asarray(amp), phi, block, sr, interpret=True
+        )
+
+    def test_forward_matches_xla(self, controls):
+        f0, amp, block, sr = controls
+        got = self._run(f0, amp, block, sr)
+        want = harmonic_synth_frames(
+            jnp.asarray(f0), jnp.asarray(amp), block, sr, use_pallas="never"
+        )
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+    def test_chebyshev_recurrence_stability_high_k(self, rng):
+        """64 harmonics through the recurrence stay close to direct sin."""
+        b, f, k, block, sr = 1, 8, 64, 128, 48000
+        f0 = rng.uniform(60, 300, (b, f)).astype(np.float32)
+        amp = (rng.random((b, f, k)) / k).astype(np.float32)
+        got = self._run(f0, amp, block, sr)
+        want = _oracle_f64(f0, amp, block, sr)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_backward_matches_xla_grads(self, controls):
+        f0, amp, block, sr = controls
+
+        def loss_pallas(f0_, amp_):
+            phi, _ = phase_accumulate_frames(f0_, block, sr)
+            y = harmonic_synth_pallas(f0_, amp_, phi, block, sr, interpret=True)
+            return jnp.sum(jnp.sin(y))  # nonlinear to exercise chain rule
+
+        def loss_xla(f0_, amp_):
+            y = harmonic_synth_frames(f0_, amp_, block, sr, use_pallas="never")
+            return jnp.sum(jnp.sin(y))
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(jnp.asarray(f0), jnp.asarray(amp))
+        gx = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(f0), jnp.asarray(amp))
+        np.testing.assert_allclose(gp[0], gx[0], rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(gp[1], gx[1], rtol=5e-3, atol=5e-3)

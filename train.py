@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Parity: reference train.py — ``python train.py --config configs/config.yaml
+--name myrun [--root runs] [--steps N]``.  Loads the YAML config, builds the
+model by registry name, computes dataset loudness stats, and runs the
+Trainer (jitted train step; data-parallel over all visible devices unless
+--mesh-data/--mesh-time say otherwise).  Resumes automatically from the
+latest checkpoint in the run directory.
+"""
+
+import argparse
+from os import path
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default="configs/config.yaml")
+    p.add_argument("--name", default="debug")
+    p.add_argument("--root", default="runs")
+    p.add_argument("--steps", type=int, default=None, help="override train.steps")
+    p.add_argument("--batch", type=int, default=None, help="override train.batch")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-time", type=int, default=1)
+    p.add_argument("--no-mesh", action="store_true", help="single-device jit")
+    args = p.parse_args()
+
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data import Datamodule
+    from ddsp_pytorch_tpu.training import Trainer
+
+    config = Config.from_yaml(args.config)
+    if args.steps is not None:
+        config.train.steps = args.steps
+    if args.batch is not None:
+        config.train.batch = args.batch
+    if args.lr is not None:
+        config.train.lr = args.lr
+
+    mesh = None
+    if not args.no_mesh:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ddsp_pytorch_tpu.parallel import make_mesh
+
+            mesh = make_mesh(data=args.mesh_data, time=args.mesh_time)
+
+    run_dir = path.join(args.root, args.name)
+    dm = Datamodule(config)
+    dm.setup()
+
+    trainer = Trainer(config, run_dir, mesh=mesh)
+    try:
+        trainer.fit(dm)
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()
