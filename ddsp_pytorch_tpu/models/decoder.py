@@ -187,6 +187,17 @@ class DDSPDecoder(nn.Module):
         noise_ctrls = self.noise_synth.get_controls(magnitudes)
         return harmonic_ctrls, noise_ctrls
 
+    def frame_controls(self, f0: jax.Array, loudness: jax.Array):
+        """Frame-rate controls only (no synthesis): decoder + projections.
+
+        Used by the long-form path (parallel/longform.py): the tiny NN runs
+        data-parallel while the sample-rate DSP shards the time axis.
+        Returns (harmonic_ctrls, noise_ctrls).
+        """
+        f0 = f0.astype(jnp.float32)
+        hidden = self.decoder(f0, loudness)
+        return self._controls(hidden, f0)
+
     def __call__(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
         """batch: {'pitch': (B,F,1), 'loudness': (B,F,1)} → output dict with
         f0/loudness/signal/noise/harmonic_audio/noise_ctrls/harmonic_ctrls

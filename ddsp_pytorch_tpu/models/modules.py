@@ -132,7 +132,12 @@ class Reverb(nn.Module):
         return impulse.at[0].set(1.0)
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x (B, T) → (B, T), T ≥ length."""
+        """x (B, T) → (B, T).  IR is padded to T (or truncated when the
+        signal is shorter than the IR — T < length crashes the reference)."""
         impulse = self.build_impulse()
-        impulse = jnp.pad(impulse, (0, x.shape[-1] - self.length))
+        t = x.shape[-1]
+        if t >= self.length:
+            impulse = jnp.pad(impulse, (0, t - self.length))
+        else:
+            impulse = impulse[:t]
         return ops.fft_convolve(x, impulse[None, :])

@@ -128,13 +128,31 @@ def _track(
     frames = _frame_centered(signal, window + tau_max, block_size)
     d = cmndf(frames, window, tau_max)  # (F, tau_max+1)
 
-    # Evaluate d' on the log pitch grid by linear interpolation in lag.
+    # Evaluate d' on the log pitch grid by *quadratic* interpolation in lag:
+    # CMNDF dips at high frequencies are narrower than one lag sample, and
+    # linear interpolation systematically over-reads them (making the wider
+    # subharmonic dip at 2τ look deeper — an octave-error trap).
     grid = _pitch_grid(fmin, fmax, bins_per_octave)
     taus = sample_rate / grid  # (n_bins,) fractional lags, descending
-    lo = np.floor(taus).astype(np.int32)
-    frac = jnp.asarray((taus - lo).astype(np.float32))
-    lo = jnp.asarray(np.clip(lo, 0, tau_max - 1))
-    emis = d[..., lo] * (1.0 - frac) + d[..., lo + 1] * frac  # (F, n_bins)
+    k = np.clip(np.round(taus).astype(np.int32), 1, tau_max - 1)
+    delta = jnp.asarray((taus - k).astype(np.float32))  # ∈ [-0.5, 0.5]
+    k = jnp.asarray(k)
+    dm, d0, dp = d[..., k - 1], d[..., k], d[..., k + 1]
+    emis = (
+        d0
+        + 0.5 * delta * (dp - dm)
+        + 0.5 * jnp.square(delta) * (dp - 2.0 * d0 + dm)
+    )  # (F, n_bins)
+    emis = jnp.maximum(emis, 0.0)
+
+    # Subharmonic (octave-down) suppression: every integer multiple of the
+    # true period also nulls the difference function, so d'(2τ) ≈ d'(τ) ≈ 0
+    # for clean tones.  Classic YIN resolves this by taking the *smallest*
+    # lag under threshold (de Cheveigné §2 step 4); on a grid search the
+    # equivalent is a small per-octave lag penalty — large enough to split
+    # numerically-tied dips, far too small to override a real CMNDF contrast.
+    octaves_above_min_lag = np.log2(taus / taus.min())
+    emis = emis + jnp.asarray((0.02 * octaves_above_min_lag).astype(np.float32))
 
     # Viterbi: quadratic-in-distance jump penalty, in octaves.
     n_bins = grid.shape[0]

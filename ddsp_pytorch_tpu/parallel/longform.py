@@ -1,0 +1,145 @@
+"""Long-form synthesis over a (data, time) mesh.
+
+North-star workload (BASELINE.json config #5): many concurrent voices ×
+minutes of audio, too large for one chip's HBM.  No reference analogue (it
+chunks offline, SURVEY.md §5).
+
+Split of labor:
+  * The control network (GRU decoder — ~6 M params, frame-rate) runs
+    data-parallel: voices shard over 'data', frames stay whole (a GRU is
+    sequential in time; sharding its scan would serialize across chips).
+  * The sample-rate DSP — oscillator bank, filtered noise, reverb — shards
+    the *time* axis too, via the halo collectives in parallel/ops.py.  Audio
+    lives only as a ('data','time')-sharded jax.Array; a (256 voices ×
+    10 min × 48 kHz) f32 signal is ~29 GB and never exists on one device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ddsp_pytorch_tpu.parallel.ops import (
+    shard_map,
+    sharded_fft_convolve_causal,
+    sharded_harmonic_synth,
+)
+
+
+class LongFormSynthesizer:
+    """Render (B, F, 1) frame-rate controls into ('data','time')-sharded
+    audio through a trained DDSPDecoder."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        mesh: Mesh,
+        *,
+        use_pallas: str = "auto",
+        include_reverb: bool = True,
+        mean_loudness: float = 0.0,
+        std_loudness: float = 1.0,
+    ):
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        self.block_size = int(model.block_size)
+        self.sample_rate = int(model.sample_rate)
+        self.include_reverb = include_reverb and model.has_reverb
+        self.mean_loudness = mean_loudness
+        self.std_loudness = std_loudness
+
+        rep = NamedSharding(mesh, P())
+        voices = NamedSharding(mesh, P("data"))
+
+        def controls_fn(params, f0, loudness):
+            loudness = (loudness - self.mean_loudness) / self.std_loudness
+            return model.apply(
+                {"params": params}, f0, loudness, method=model.frame_controls
+            )
+
+        # NN stage: voices data-parallel, frames replicated along 'time'.
+        self._controls = jax.jit(
+            controls_fn, in_shardings=(rep, voices, voices)
+        )
+
+        block, sr = self.block_size, self.sample_rate
+
+        def dsp_fn(f0, amp, mags, noise, ir):
+            # all inputs already local to this (data, time) shard
+            audio = sharded_harmonic_synth(
+                f0, amp, block, sr, use_pallas=use_pallas
+            )
+            from ddsp_pytorch_tpu.ops.filters import (
+                amp_to_impulse_response,
+                fft_convolve,
+            )
+
+            impulse = amp_to_impulse_response(mags, block)
+            noise_audio = fft_convolve(noise, impulse).reshape(audio.shape)
+            audio = audio + noise_audio
+            if ir is not None:
+                audio = sharded_fft_convolve_causal(audio, ir)
+            return audio
+
+        in_specs = (
+            P("data", "time"),  # f0 frames
+            P("data", "time", None),  # harmonic amps
+            P("data", "time", None),  # noise magnitudes
+            P("data", "time", None),  # noise draw (B, F, S)
+            P() if self.include_reverb else None,  # reverb IR (replicated)
+        )
+        if not self.include_reverb:
+            def dsp_no_reverb(f0, amp, mags, noise):
+                return dsp_fn(f0, amp, mags, noise, None)
+
+            self._dsp = jax.jit(
+                shard_map(
+                    dsp_no_reverb,
+                    mesh=mesh,
+                    in_specs=in_specs[:4],
+                    out_specs=P("data", "time"),
+                )
+            )
+        else:
+            self._dsp = jax.jit(
+                shard_map(
+                    dsp_fn,
+                    mesh=mesh,
+                    in_specs=in_specs,
+                    out_specs=P("data", "time"),
+                )
+            )
+
+    def _reverb_ir(self):
+        from ddsp_pytorch_tpu.models.modules import Reverb
+
+        reverb = Reverb(self.sample_rate, self.sample_rate)
+        return reverb.apply(
+            {"params": self.params["reverb"]}, method=reverb.build_impulse
+        )
+
+    def synthesize(
+        self, f0, loudness, rng: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """f0, loudness (B, F, 1) → (B, F*block_size) sharded audio."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        harmonic_ctrls, noise_ctrls = self._controls(self.params, f0, loudness)
+        amp = (
+            harmonic_ctrls["harmonic_distribution"] * harmonic_ctrls["amplitudes"]
+        )
+        mags = noise_ctrls["magnitudes"]
+        b, f = f0.shape[0], f0.shape[1]
+        noise = (
+            jax.random.uniform(rng, (b, f, self.block_size), jnp.float32) * 2.0
+            - 1.0
+        )
+        noise = jax.device_put(noise, NamedSharding(self.mesh, P("data", "time")))
+        f0_2d = f0[..., 0]
+        if self.include_reverb:
+            return self._dsp(f0_2d, amp, mags, noise, self._reverb_ir())
+        return self._dsp(f0_2d, amp, mags, noise)

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -212,14 +212,20 @@ def sharded_multiscale_spec_loss(
     scales: Sequence[int],
     overlap: float,
     axis: str = "time",
+    batch_axis: Optional[str] = "data",
 ) -> jax.Array:
     """Sharded multi-scale spectral loss (inside shard_map) == the unsharded
     training loss (training/loss.py) on the gathered signal.
+
+    Reduces over the time shards AND (if batch_axis given) the data shards,
+    so the scalar is the global batch mean, replicated on every device.
     """
     total = jnp.asarray(0.0, jnp.float32)
     b = target_local.shape[0]
     n = jax.lax.axis_size(axis)
     c = target_local.shape[-1]
+    reduce_axes = (axis,) if batch_axis is None else (axis, batch_axis)
+    b_global = b if batch_axis is None else b * jax.lax.axis_size(batch_axis)
     for s in scales:
         hop = int(s * (1.0 - overlap))
         mags_t, valid = sharded_scale_mags(target_local, s, hop, axis)
@@ -229,11 +235,11 @@ def sharded_multiscale_spec_loss(
         log_sum = jnp.sum(
             jnp.abs(jnp.log(mags_t + 1e-7) - jnp.log(mags_r + 1e-7)) * w
         )
-        lin_sum = jax.lax.psum(lin_sum, axis)
-        log_sum = jax.lax.psum(log_sum, axis)
+        lin_sum = jax.lax.psum(lin_sum, reduce_axes)
+        log_sum = jax.lax.psum(log_sum, reduce_axes)
         bins = s // 2 + 1
         n_frames_global = 1 + (n * c) // hop
-        count = b * bins * n_frames_global
+        count = b_global * bins * n_frames_global
         total = total + (lin_sum + log_sum) / count
     return total
 

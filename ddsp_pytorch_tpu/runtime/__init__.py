@@ -1,0 +1,153 @@
+"""ctypes binding for the native streaming engine (libddsp_stream.so).
+
+Lets Python hosts (and tests) drive the exact C++ block pipeline the native
+host uses, with a Python render callback — typically StreamingSynth.step
+— standing in for the embedded-CPython model host.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+_RENDER_CB = ctypes.CFUNCTYPE(
+    None,
+    ctypes.POINTER(ctypes.c_float),  # pitch
+    ctypes.POINTER(ctypes.c_float),  # loudness
+    ctypes.POINTER(ctypes.c_float),  # out
+    ctypes.c_int,
+    ctypes.c_void_p,
+)
+
+_DEFAULT_BUILD_DIRS = (
+    os.path.join(os.path.dirname(__file__), "build"),
+    "/tmp/rt_build",
+)
+
+
+def _find_library(explicit: Optional[str] = None) -> Optional[str]:
+    if explicit:
+        return explicit if os.path.exists(explicit) else None
+    for d in _DEFAULT_BUILD_DIRS:
+        p = os.path.join(d, "libddsp_stream.so")
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def build_runtime(build_dir: Optional[str] = None) -> str:
+    """Configure + build the native runtime; returns the build dir."""
+    import subprocess
+
+    src = os.path.dirname(os.path.abspath(__file__))
+    build_dir = build_dir or os.path.join(src, "build")
+    subprocess.run(["cmake", "-S", src, "-B", build_dir], check=True,
+                   capture_output=True)
+    subprocess.run(["cmake", "--build", build_dir, "-j2"], check=True,
+                   capture_output=True)
+    return build_dir
+
+
+class StreamEngine:
+    """Python handle on the C++ double-buffered engine.
+
+    render: callable (pitch (n,), loudness (n,)) -> audio (n,), invoked on
+    the engine's worker thread.
+    """
+
+    def __init__(
+        self,
+        block_size: int,
+        render: Callable[[np.ndarray, np.ndarray], np.ndarray],
+        library: Optional[str] = None,
+    ):
+        path = _find_library(library)
+        if path is None:
+            build_runtime()
+            path = _find_library(library)
+        if path is None:
+            raise RuntimeError("libddsp_stream.so not found; build runtime/")
+        self._lib = ctypes.CDLL(path)
+        self._lib.ddsp_stream_create.restype = ctypes.c_void_p
+        self._lib.ddsp_stream_create.argtypes = [
+            ctypes.c_int, _RENDER_CB, ctypes.c_void_p,
+        ]
+        self._lib.ddsp_stream_process.restype = ctypes.c_int
+        self._lib.ddsp_stream_process.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        self._lib.ddsp_stream_latency.restype = ctypes.c_int
+        self._lib.ddsp_stream_latency.argtypes = [ctypes.c_void_p]
+        self._lib.ddsp_stream_blocks_rendered.restype = ctypes.c_int64
+        self._lib.ddsp_stream_blocks_rendered.argtypes = [ctypes.c_void_p]
+        self._lib.ddsp_stream_underruns.restype = ctypes.c_int64
+        self._lib.ddsp_stream_underruns.argtypes = [ctypes.c_void_p]
+        self._lib.ddsp_stream_destroy.argtypes = [ctypes.c_void_p]
+
+        self._render_py = render
+        self.block_size = block_size
+
+        def _cb(pitch_p, loud_p, out_p, n, _ctx):
+            pitch = np.ctypeslib.as_array(pitch_p, (n,)).copy()
+            loud = np.ctypeslib.as_array(loud_p, (n,)).copy()
+            audio = np.asarray(self._render_py(pitch, loud), np.float32)
+            ctypes.memmove(
+                out_p, audio.ctypes.data, n * ctypes.sizeof(ctypes.c_float)
+            )
+
+        self._cb = _RENDER_CB(_cb)  # keep a reference (GC safety)
+        self._engine = self._lib.ddsp_stream_create(block_size, self._cb, None)
+        if not self._engine:
+            raise RuntimeError("ddsp_stream_create failed")
+
+    def process(self, pitch: np.ndarray, loudness: np.ndarray) -> np.ndarray:
+        """One audio tick: (n,) control in → (n,) audio out."""
+        pitch = np.ascontiguousarray(pitch, np.float32)
+        loudness = np.ascontiguousarray(loudness, np.float32)
+        out = np.zeros_like(pitch)
+        rc = self._lib.ddsp_stream_process(
+            self._engine,
+            pitch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            loudness.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(pitch),
+        )
+        if rc != 0:
+            raise ValueError(f"tick size {len(pitch)} must divide block size")
+        return out
+
+    @property
+    def latency(self) -> int:
+        return self._lib.ddsp_stream_latency(self._engine)
+
+    @property
+    def blocks_rendered(self) -> int:
+        return self._lib.ddsp_stream_blocks_rendered(self._engine)
+
+    @property
+    def underruns(self) -> int:
+        return self._lib.ddsp_stream_underruns(self._engine)
+
+    def close(self) -> None:
+        if getattr(self, "_engine", None):
+            self._lib.ddsp_stream_destroy(self._engine)
+            self._engine = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,187 @@
+/* ddsp_model.cpp — CPython-embedded bundle host (see ddsp_model.h). */
+
+#include "ddsp_model.h"
+
+#include <Python.h>
+
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+namespace {
+
+bool g_initialized = false;
+
+void print_py_error(const char *where) {
+  std::fprintf(stderr, "[ddsp_model] python error in %s:\n", where);
+  PyErr_Print();
+}
+
+struct Model {
+  PyObject *synth = nullptr;       // StreamingSynth instance
+  PyObject *step_fn = nullptr;     // bound step_samples
+  int block_size = -1;
+  int sample_rate = -1;
+};
+
+}  // namespace
+
+extern "C" {
+
+int ddsp_runtime_init(const char *extra_sys_path) {
+  if (g_initialized) return 0;
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+  }
+  PyGILState_STATE gil = PyGILState_Ensure();
+  if (extra_sys_path && *extra_sys_path) {
+    PyObject *sys_path = PySys_GetObject("path");  // borrowed
+    PyObject *p = PyUnicode_FromString(extra_sys_path);
+    if (sys_path && p) PyList_Insert(sys_path, 0, p);
+    Py_XDECREF(p);
+  }
+  g_initialized = true;
+  // Release the GIL so worker threads can acquire it.
+  PyGILState_Release(gil);
+  PyEval_SaveThread();
+  return 0;
+}
+
+ddsp_model *ddsp_model_load(const char *bundle_dir) {
+  if (!g_initialized) {
+    std::fprintf(stderr, "[ddsp_model] call ddsp_runtime_init first\n");
+    return nullptr;
+  }
+  PyGILState_STATE gil = PyGILState_Ensure();
+  Model *m = new Model();
+  PyObject *mod = nullptr, *fn = nullptr, *synth = nullptr;
+
+  mod = PyImport_ImportModule("ddsp_pytorch_tpu.export");
+  if (!mod) goto fail;
+  fn = PyObject_GetAttrString(mod, "make_streaming_synth");
+  if (!fn) goto fail;
+  synth = PyObject_CallFunction(fn, "s", bundle_dir);
+  if (!synth) goto fail;
+
+  m->synth = synth;
+  m->step_fn = PyObject_GetAttrString(synth, "step_samples");
+  if (!m->step_fn) goto fail;
+  {
+    PyObject *bs = PyObject_GetAttrString(synth, "block_size");
+    PyObject *sr = PyObject_GetAttrString(synth, "sample_rate");
+    if (bs) m->block_size = (int)PyLong_AsLong(bs);
+    if (sr) m->sample_rate = (int)PyLong_AsLong(sr);
+    Py_XDECREF(bs);
+    Py_XDECREF(sr);
+  }
+  Py_XDECREF(fn);
+  Py_XDECREF(mod);
+  PyGILState_Release(gil);
+  return reinterpret_cast<ddsp_model *>(m);
+
+fail:
+  print_py_error("ddsp_model_load");
+  Py_XDECREF(synth);
+  Py_XDECREF(fn);
+  Py_XDECREF(mod);
+  delete m;
+  PyGILState_Release(gil);
+  return nullptr;
+}
+
+void ddsp_model_free(ddsp_model *model) {
+  auto *m = reinterpret_cast<Model *>(model);
+  if (!m) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  Py_XDECREF(m->step_fn);
+  Py_XDECREF(m->synth);
+  PyGILState_Release(gil);
+  delete m;
+}
+
+int ddsp_model_perform(ddsp_model *model, const float *pitch,
+                       const float *loudness, float *out, int n) {
+  auto *m = reinterpret_cast<Model *>(model);
+  if (!m || n <= 0 || (m->block_size > 0 && n % m->block_size != 0)) return -1;
+
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int rc = -1;
+  // Build (1, n) float32 memoryview-backed arrays via numpy frombuffer to
+  // avoid a dependency on the numpy C API headers.
+  PyObject *np = nullptr, *frombuffer = nullptr;
+  PyObject *pitch_arr = nullptr, *loud_arr = nullptr, *result = nullptr;
+  PyObject *reshape_args = nullptr, *audio_np = nullptr, *astype = nullptr;
+  PyObject *mv_pitch = nullptr, *mv_loud = nullptr, *tobytes = nullptr,
+           *bytes_obj = nullptr;
+
+  np = PyImport_ImportModule("numpy");
+  if (!np) goto done;
+  frombuffer = PyObject_GetAttrString(np, "frombuffer");
+  if (!frombuffer) goto done;
+
+  mv_pitch = PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<float *>(pitch)),
+      n * sizeof(float), PyBUF_READ);
+  mv_loud = PyMemoryView_FromMemory(
+      reinterpret_cast<char *>(const_cast<float *>(loudness)),
+      n * sizeof(float), PyBUF_READ);
+  if (!mv_pitch || !mv_loud) goto done;
+
+  pitch_arr = PyObject_CallFunction(frombuffer, "Os", mv_pitch, "float32");
+  loud_arr = PyObject_CallFunction(frombuffer, "Os", mv_loud, "float32");
+  if (!pitch_arr || !loud_arr) goto done;
+
+  {
+    PyObject *shaped_p = PyObject_CallMethod(pitch_arr, "reshape", "ii", 1, n);
+    PyObject *shaped_l = PyObject_CallMethod(loud_arr, "reshape", "ii", 1, n);
+    if (!shaped_p || !shaped_l) {
+      Py_XDECREF(shaped_p);
+      Py_XDECREF(shaped_l);
+      goto done;
+    }
+    result = PyObject_CallFunctionObjArgs(m->step_fn, shaped_p, shaped_l, NULL);
+    Py_DECREF(shaped_p);
+    Py_DECREF(shaped_l);
+  }
+  if (!result) goto done;
+
+  // numpy.asarray(result, dtype=float32).tobytes() → memcpy out
+  audio_np = PyObject_CallMethod(np, "asarray", "Os", result, "float32");
+  if (!audio_np) goto done;
+  bytes_obj = PyObject_CallMethod(audio_np, "tobytes", NULL);
+  if (!bytes_obj) goto done;
+  {
+    char *buf = nullptr;
+    Py_ssize_t len = 0;
+    if (PyBytes_AsStringAndSize(bytes_obj, &buf, &len) != 0) goto done;
+    if (len < (Py_ssize_t)(n * sizeof(float))) goto done;
+    std::memcpy(out, buf, n * sizeof(float));
+  }
+  rc = 0;
+
+done:
+  if (rc != 0) print_py_error("ddsp_model_perform");
+  Py_XDECREF(bytes_obj);
+  Py_XDECREF(audio_np);
+  Py_XDECREF(result);
+  Py_XDECREF(pitch_arr);
+  Py_XDECREF(loud_arr);
+  Py_XDECREF(mv_pitch);
+  Py_XDECREF(mv_loud);
+  Py_XDECREF(frombuffer);
+  Py_XDECREF(np);
+  PyGILState_Release(gil);
+  return rc;
+}
+
+int ddsp_model_block_size(const ddsp_model *model) {
+  auto *m = reinterpret_cast<const Model *>(model);
+  return m ? m->block_size : -1;
+}
+
+int ddsp_model_sample_rate(const ddsp_model *model) {
+  auto *m = reinterpret_cast<const Model *>(model);
+  return m ? m->sample_rate : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,125 @@
+/* ddsp~ — Pure Data external adapter over the native runtime.
+ *
+ * Role parity: realtime/ddsp_tilde/ddsp_tilde.cpp of the reference — a Pd
+ * signal object with two signal inlets (pitch Hz, loudness), one signal
+ * outlet (audio), and a `load <bundle_dir>` message.  Re-designed on top of
+ * this framework's engine + model host:
+ *
+ *   ddsp~ tick (64 samples) → ddsp_stream_process (double-buffered pipeline,
+ *   ddsp_stream.cpp) → worker thread → ddsp_model_perform (CPython-embedded
+ *   XLA streaming step, ddsp_model.cpp)
+ *
+ * vs. the reference: the block pipeline joins its worker on free (the
+ * reference leaks an in-flight std::thread, SURVEY.md §5), and the model
+ * block size comes from the loaded bundle instead of a compile-time B_SIZE.
+ *
+ * Build (requires the Pure Data API header m_pd.h, not vendored here —
+ * point CMake at a Pd installation):
+ *   cmake -S . -B build -DDDSP_PD_INCLUDE_DIR=/path/to/pd/src
+ * Produces ddsp~.pd_linux.  This file is compile-gated: without
+ * DDSP_PD_INCLUDE_DIR the rest of the runtime builds without it.
+ */
+
+#include "m_pd.h"
+
+#include <cstring>
+#include <string>
+
+#include "ddsp_model.h"
+#include "ddsp_stream.h"
+
+static t_class *ddsp_tilde_class;
+
+struct t_ddsp_tilde {
+  t_object x_obj;
+  t_float f; /* dummy for CLASS_MAINSIGNALIN */
+
+  t_inlet *in_loudness;
+  t_outlet *out_audio;
+
+  ddsp_model *model;
+  ddsp_stream_engine *engine;
+};
+
+static void render_cb(const float *pitch, const float *loudness, float *out,
+                      int n, void *ctx) {
+  auto *model = static_cast<ddsp_model *>(ctx);
+  if (ddsp_model_perform(model, pitch, loudness, out, n) != 0) {
+    std::memset(out, 0, n * sizeof(float));
+  }
+}
+
+static void *ddsp_tilde_new() {
+  auto *x = (t_ddsp_tilde *)pd_new(ddsp_tilde_class);
+  x->in_loudness =
+      inlet_new(&x->x_obj, &x->x_obj.ob_pd, &s_signal, &s_signal);
+  x->out_audio = outlet_new(&x->x_obj, &s_signal);
+  x->model = nullptr;
+  x->engine = nullptr;
+  ddsp_runtime_init(nullptr);
+  return (void *)x;
+}
+
+static void ddsp_tilde_free(t_ddsp_tilde *x) {
+  if (x->engine) ddsp_stream_destroy(x->engine); /* joins the worker */
+  if (x->model) ddsp_model_free(x->model);
+  inlet_free(x->in_loudness);
+  outlet_free(x->out_audio);
+}
+
+static void ddsp_tilde_load(t_ddsp_tilde *x, t_symbol *sym) {
+  if (x->engine) {
+    ddsp_stream_destroy(x->engine);
+    x->engine = nullptr;
+  }
+  if (x->model) {
+    ddsp_model_free(x->model);
+    x->model = nullptr;
+  }
+  x->model = ddsp_model_load(sym->s_name);
+  if (!x->model) {
+    post("ddsp~: error loading bundle %s", sym->s_name);
+    return;
+  }
+  const int block = ddsp_model_block_size(x->model);
+  /* Render 2 model frames per engine block — same latency class as the
+   * reference's B_SIZE=1024 at block_size=512. */
+  x->engine = ddsp_stream_create(2 * block, render_cb, x->model);
+  post("ddsp~: loaded %s (sr=%d block=%d latency=%d samples)", sym->s_name,
+       ddsp_model_sample_rate(x->model), block,
+       ddsp_stream_latency(x->engine));
+}
+
+static t_int *ddsp_tilde_perform(t_int *w) {
+  auto *x = (t_ddsp_tilde *)(w[1]);
+  auto *pitch = (t_sample *)(w[2]);
+  auto *loudness = (t_sample *)(w[3]);
+  auto *out = (t_sample *)(w[4]);
+  int n = (int)(w[5]);
+
+  if (x->engine) {
+    ddsp_stream_process(x->engine, pitch, loudness, out, n);
+  } else {
+    std::memset(out, 0, n * sizeof(float));
+  }
+  return (w + 6);
+}
+
+static void ddsp_tilde_dsp(t_ddsp_tilde *x, t_signal **sp) {
+  dsp_add(ddsp_tilde_perform, 5, x, sp[0]->s_vec, sp[1]->s_vec, sp[2]->s_vec,
+          sp[0]->s_n);
+}
+
+extern "C" {
+void ddsp_tilde_setup(void) {
+  ddsp_tilde_class =
+      class_new(gensym("ddsp~"), (t_newmethod)ddsp_tilde_new,
+                (t_method)ddsp_tilde_free, sizeof(t_ddsp_tilde),
+                CLASS_DEFAULT, A_DEFFLOAT, 0);
+  CLASS_MAINSIGNALIN(ddsp_tilde_class, t_ddsp_tilde, f);
+  class_addmethod(ddsp_tilde_class, (t_method)ddsp_tilde_load, gensym("load"),
+                  A_SYMBOL, 0);
+  class_addmethod(ddsp_tilde_class, (t_method)ddsp_tilde_dsp, gensym("dsp"),
+                  A_CANT, 0);
+}
+}

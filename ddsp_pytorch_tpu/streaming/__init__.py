@@ -111,13 +111,16 @@ class StreamingSynth:
         )
         return audio
 
-    def step_samples(self, pitch, loudness) -> np.ndarray:
+    def step_samples(self, pitch, loudness):
         """Sample-rate controls (B, n) → (B, n) audio; n % block_size == 0.
 
         Stride-decimates controls to frame rate (export.py:36-37 parity).
+        Returns a *device* array — callers that need host audio convert with
+        np.asarray (one D2H copy); keeping it on device lets callers chain
+        synthesis without paying transfer latency per block.
         """
         pitch = np.asarray(pitch, np.float32)
         loudness = np.asarray(loudness, np.float32)
         f0 = pitch[:, :: self.block_size, None]
         loud = loudness[:, :: self.block_size, None]
-        return np.asarray(self.step(f0, loud))
+        return self.step(f0, loud)

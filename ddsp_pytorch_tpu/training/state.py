@@ -125,9 +125,7 @@ class Checkpointer:
 
     def restore_best(self, abstract_params):
         path = os.path.join(self.best_dir, "params")
-        return self._best_ckptr.restore(
-            path, self._ocp.args.StandardRestore(abstract_params)
-        )
+        return self._best_ckptr.restore(path, target=abstract_params)
 
     def best_meta(self) -> Optional[dict]:
         path = os.path.join(self.best_dir, "meta.json")

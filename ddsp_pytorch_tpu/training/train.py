@@ -286,6 +286,9 @@ class Trainer:
 
             fig = reconstruction_report(out, self.config)
             self.metrics.add_figure(f"reconstruction/{stage}", fig, step)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
         except Exception:
             pass  # diagnostics must never kill training
 

@@ -1,0 +1,174 @@
+"""Data pipeline + config system tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ddsp_pytorch_tpu.config import Config
+from ddsp_pytorch_tpu.data import DataLoader, Dataset, dict_collate
+from ddsp_pytorch_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def cache(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cache")
+    make_synthetic_dataset(
+        str(d), n_items=5, sample_rate=16000, signal_length=4096, block_size=128
+    )
+    return str(d)
+
+
+def test_dataset_shapes(cache):
+    ds = Dataset(os.path.join(cache, "train"))
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["sig"].shape == (4096,)
+    assert item["pitch"].shape == (32, 1)
+    assert item["loudness"].shape == (32, 1)
+    assert item["mfcc"].shape == (32, 30)  # F+1 frames trimmed to F
+
+
+def test_dict_collate(cache):
+    ds = Dataset(os.path.join(cache, "train"))
+    batch = dict_collate([ds[0], ds[1]])
+    assert batch["sig"].shape == (2, 4096)
+    assert batch["pitch"].shape == (2, 32, 1)
+
+
+def test_loader_deterministic_per_epoch(cache):
+    ds = Dataset(os.path.join(cache, "train"))
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=7)
+    dl.set_epoch(3)
+    a = [b["sig"].sum() for b in dl]
+    dl2 = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=7)
+    dl2.set_epoch(3)
+    b = [x["sig"].sum() for x in dl2]
+    np.testing.assert_allclose(a, b)
+    dl2.set_epoch(4)
+    c = [x["sig"].sum() for x in dl2]
+    assert not np.allclose(a, c)  # different epoch → different order
+
+
+def test_loader_drop_last(cache):
+    ds = Dataset(os.path.join(cache, "train"))
+    assert len(DataLoader(ds, batch_size=2, drop_last=True)) == 2
+    assert len(DataLoader(ds, batch_size=2, drop_last=False)) == 3
+
+
+def test_synthetic_pitch_is_ground_truth(cache):
+    """The stored pitch must match what a tracker would recover — i.e. the
+    audio really is a harmonic tone at the stored f0."""
+    from ddsp_pytorch_tpu.ops import extract_pitch
+
+    ds = Dataset(os.path.join(cache, "validation"))
+    item = ds[0]
+    tracked = np.asarray(extract_pitch(item["sig"], 16000, 128))
+    stored = item["pitch"][:, 0]
+    mid = slice(4, -4)
+    np.testing.assert_allclose(tracked[mid], stored[mid], rtol=0.03)
+
+
+# ------------------------------------------------------------------ config
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.data.mean_loudness = -4.2
+    p = os.path.join(tmp_path, "c.yaml")
+    cfg.to_yaml(p)
+    back = Config.from_yaml(p)
+    assert back.data.mean_loudness == -4.2
+    assert back.model.kwargs["hidden_size"] == 512
+    assert back.train.scales == [4096, 2048, 1024, 512, 256, 128]
+
+
+def test_config_loads_reference_style_yaml(tmp_path):
+    """A config written for the reference (same sections/keys) loads as-is."""
+    raw = """
+data:
+  data_location: "./data/violin"
+  extension: "wav"
+preprocess:
+  sample_rate: 48000
+  signal_length: 192000
+  block_size: 512
+  oneshot: false
+  out_dir: "./cache/violin"
+model:
+  name: single-inst-decoder
+  kwargs:
+    hidden_size: 512
+    n_harmonic: 64
+    n_bands: 65
+    sample_rate: 48000
+    block_size: 512
+    has_reverb: True
+train:
+  scales: [4096, 2048, 1024, 512, 256, 128]
+  overlap: .75
+  batch: 16
+  lr: 1.0e-3
+  steps: 500000
+"""
+    p = os.path.join(tmp_path, "ref.yaml")
+    with open(p, "w") as f:
+        f.write(raw)
+    cfg = Config.from_yaml(p)
+    assert cfg.model.name == "single-inst-decoder"
+    assert cfg.preprocess.block_size == 512
+    assert cfg.train.overlap == 0.75
+    assert cfg.n_frames == 375
+
+
+def test_sigmund_ingestion(tmp_path):
+    """3-channel wav → npy cache (reference preprocess_from_sigmund.py)."""
+    from scipy.io import wavfile
+
+    from ddsp_pytorch_tpu.data.sigmund import preprocess_from_sigmund
+
+    sr, n = 16000, 8192
+    t = np.arange(n) / sr
+    audio = np.sin(2 * np.pi * 220 * t).astype(np.float32)
+    pitch = np.full(n, 220.0, np.float32)
+    loud = np.full(n, -3.0, np.float32)
+    wav = np.stack([audio, pitch, loud], axis=1)
+    wavfile.write(os.path.join(tmp_path, "sig.wav"), sr, wav)
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": sr,
+                "signal_length": 4096,
+                "block_size": 128,
+                "out_dir": str(tmp_path / "out"),
+            }
+        }
+    )
+    preprocess_from_sigmund(os.path.join(tmp_path, "sig.wav"), cfg, "train")
+    sigs = np.load(tmp_path / "out" / "train" / "signals.npy")
+    pitchs = np.load(tmp_path / "out" / "train" / "pitchs.npy")
+    assert sigs.shape == (2, 4096)
+    assert pitchs.shape == (2, 32)
+    np.testing.assert_allclose(pitchs, 220.0, atol=1e-3)
+
+
+def test_nsynth_split(tmp_path):
+    import json
+
+    from ddsp_pytorch_tpu.data.nsynth import create_inst_view
+
+    pdir = tmp_path / "nsynth-train"
+    (pdir / "audio").mkdir(parents=True)
+    examples = {
+        "violin_A_001": {"instrument_str": "violin_acoustic_001"},
+        "flute_A_001": {"instrument_str": "flute_acoustic_001"},
+    }
+    with open(pdir / "examples.json", "w") as f:
+        json.dump(examples, f)
+    for nid in examples:
+        (pdir / "audio" / f"{nid}.wav").write_bytes(b"RIFF")
+
+    counts = create_inst_view(tmp_path, tmp_path / "view", "violin")
+    assert counts == {"train": 1}
+    assert (tmp_path / "view" / "train" / "violin" / "violin_A_001.wav").exists()

@@ -1,0 +1,146 @@
+"""Export bundle + native runtime binding tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ddsp_pytorch_tpu.config import Config
+
+
+def _train_tiny(tmp_path, steps=4):
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(
+        cache, n_items=2, sample_rate=16000, signal_length=4096, block_size=128,
+        n_harmonic=4,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": 16000,
+                "signal_length": 4096,
+                "block_size": 128,
+                "out_dir": cache,
+            },
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 32,
+                    "n_harmonic": 4,
+                    "n_bands": 9,
+                    "sample_rate": 16000,
+                    "block_size": 128,
+                    "has_reverb": True,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {
+                "scales": [256, 128],
+                "batch": 2,
+                "steps": steps,
+                "checkpoint_every_steps": 2,
+            },
+        }
+    )
+    run_dir = os.path.join(tmp_path, "run")
+    dm = Datamodule(cfg)
+    dm.setup()
+    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
+    try:
+        trainer.fit(dm)
+    finally:
+        trainer.close()
+    return run_dir, cfg
+
+
+@pytest.mark.slow
+def test_export_and_load_roundtrip(tmp_path):
+    from ddsp_pytorch_tpu.export import export_run, load_bundle, make_streaming_synth
+
+    run_dir, cfg = _train_tiny(tmp_path)
+    out_dir = os.path.join(tmp_path, "export")
+    bundle = export_run(run_dir, out_dir, name="tiny")
+
+    assert os.path.exists(os.path.join(bundle, "params.msgpack"))
+    assert os.path.exists(os.path.join(bundle, "meta.json"))
+    assert os.path.exists(os.path.join(out_dir, "ddsp_tiny_impulse.wav"))
+    assert os.path.exists(os.path.join(out_dir, "ddsp_tiny_config.yaml"))
+
+    model, params, config = load_bundle(bundle)
+    assert config.model.kwargs["hidden_size"] == 32
+    # loudness stats must have been baked in (export.py:29-30 parity)
+    assert config.data.mean_loudness is not None
+
+    synth = make_streaming_synth(bundle)
+    n = 4 * 128
+    audio = np.asarray(
+        synth.step_samples(
+            np.full((1, n), 220.0, np.float32), np.zeros((1, n), np.float32)
+        )
+    )
+    assert audio.shape == (1, n)
+    assert np.all(np.isfinite(audio))
+
+
+@pytest.mark.slow
+def test_exported_impulse_dry_tap(tmp_path):
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.utils.audio_io import load_wav
+
+    run_dir, cfg = _train_tiny(tmp_path)
+    out_dir = os.path.join(tmp_path, "export")
+    export_run(run_dir, out_dir, name="tiny")
+    ir, sr = load_wav(os.path.join(out_dir, "ddsp_tiny_impulse.wav"))
+    assert sr == 16000
+    assert abs(ir[0] - 1.0) < 2e-2  # dry tap ≈ 1 (16-bit quantized)
+
+
+def _stream_lib_available():
+    from ddsp_pytorch_tpu.runtime import _find_library
+
+    if _find_library() is not None:
+        return True
+    try:
+        from ddsp_pytorch_tpu.runtime import build_runtime
+
+        build_runtime()
+        return _find_library() is not None
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _stream_lib_available(), reason="native lib unavailable")
+def test_stream_engine_pipeline_invariant():
+    """The ctypes-bound C++ engine delays by exactly 2 blocks."""
+    import time
+
+    from ddsp_pytorch_tpu.runtime import StreamEngine
+
+    block, tick, n_ticks = 64, 32, 32
+
+    def render(pitch, loud):
+        return pitch * 2.0
+
+    with StreamEngine(block, render) as eng:
+        assert eng.latency == 2 * block
+        sig = np.arange(n_ticks * tick, dtype=np.float32)
+        out = np.zeros_like(sig)
+        for t in range(n_ticks):
+            sl = slice(t * tick, (t + 1) * tick)
+            out[sl] = eng.process(sig[sl], np.zeros(tick, np.float32))
+            time.sleep(0.001)
+        assert eng.underruns == 0
+    np.testing.assert_allclose(out[2 * block :], 2.0 * sig[: -2 * block])
+
+
+@pytest.mark.skipif(not _stream_lib_available(), reason="native lib unavailable")
+def test_stream_engine_rejects_bad_tick():
+    from ddsp_pytorch_tpu.runtime import StreamEngine
+
+    with StreamEngine(64, lambda p, l: p) as eng:
+        with pytest.raises(ValueError):
+            eng.process(np.zeros(48, np.float32), np.zeros(48, np.float32))

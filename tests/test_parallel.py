@@ -1,0 +1,142 @@
+"""Parallelism tests on the 8-device virtual CPU mesh (SURVEY.md §4 item 4):
+sharded results must equal single-device results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_pytorch_tpu.ops import fft_convolve, harmonic_synth_frames
+from ddsp_pytorch_tpu.parallel import make_mesh
+from ddsp_pytorch_tpu.parallel.ops import (
+    make_time_sharded_loss,
+    make_time_sharded_reverb,
+    make_time_sharded_synth,
+)
+from ddsp_pytorch_tpu.training.loss import spectral_loss_from_signals
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, time=2)
+    assert mesh.shape == {"data": 4, "time": 2}
+    mesh = make_mesh(data=-1, time=2)
+    assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_time_sharded_harmonic_synth_matches_unsharded(rng):
+    """Distributed phase scan: 4-way time-sharded == single device."""
+    b, f, k, block, sr = 2, 64, 8, 64, 16000
+    f0 = jnp.asarray(rng.uniform(100, 400, (b, f)).astype(np.float32))
+    amp = jnp.asarray((rng.random((b, f, k)) / k).astype(np.float32))
+
+    want = harmonic_synth_frames(f0, amp, block, sr, use_pallas="never")
+
+    mesh = make_mesh(data=2, time=4)
+    synth = jax.jit(make_time_sharded_synth(mesh, block, sr, use_pallas="never"))
+    got = synth(f0, amp)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_time_sharded_loss_matches_unsharded(rng):
+    b, t = 2, 8192
+    scales, overlap = [512, 256, 128], 0.75
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+
+    want, _, _ = spectral_loss_from_signals(x, y, scales, overlap)
+
+    mesh = make_mesh(data=2, time=4)
+    loss_fn = jax.jit(make_time_sharded_loss(mesh, scales, overlap))
+    got = loss_fn(x, y)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_time_sharded_reverb_matches_fft_convolve(rng):
+    """Overlap-scatter block convolution == reference-semantics reverb conv
+    (causal, IR padded to signal length)."""
+    b, t, l = 2, 2048, 700  # IR spans ~3 time shards' chunks (t/8 = 256)
+    x = jnp.asarray(rng.standard_normal((b, t)).astype(np.float32))
+    ir = jnp.asarray(rng.standard_normal((l,)).astype(np.float32))
+
+    ir_padded = jnp.pad(ir, (0, t - l))
+    want = fft_convolve(x, ir_padded[None, :])
+
+    mesh = make_mesh(data=2, time=4)
+    conv = jax.jit(make_time_sharded_reverb(mesh))
+    got = conv(x, ir)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_data_parallel_train_step_matches_single_device(rng):
+    """DP over 8 devices == single-device training step (same batch)."""
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.models import load_model
+    from ddsp_pytorch_tpu.parallel import replicate_state, shard_batch
+    from ddsp_pytorch_tpu.parallel.sharding import shard_train_step
+    from ddsp_pytorch_tpu.training import create_train_state, make_train_step
+    from ddsp_pytorch_tpu.training.train import make_optimizer
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": 16000,
+                "signal_length": 2048,
+                "block_size": 64,
+            },
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 16,
+                    "n_harmonic": 4,
+                    "n_bands": 5,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256, 128], "overlap": 0.75, "batch": 8},
+        }
+    )
+    model = load_model(cfg)
+    f = cfg.n_frames
+    b = 8
+    batch = {
+        "sig": jnp.asarray(rng.standard_normal((b, 2048)).astype(np.float32)),
+        "pitch": jnp.asarray(rng.uniform(100, 300, (b, f, 1)).astype(np.float32)),
+        "loudness": jnp.asarray(rng.standard_normal((b, f, 1)).astype(np.float32)),
+    }
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg)
+
+    state0 = create_train_state(model, batch, tx, seed=0)
+    _, m_single = jax.jit(step)(state0, batch)
+
+    mesh = make_mesh(data=8, time=1)
+    state_r = replicate_state(create_train_state(model, batch, tx, seed=0), mesh)
+    sharded = shard_train_step(step, mesh)
+    _, m_dp = sharded(state_r, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_dp["grad_norm"]), float(m_single["grad_norm"]), rtol=1e-3
+    )
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip dry run must pass on the virtual mesh."""
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -24,6 +24,12 @@ def main():
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax.profiler trace of the first ~30 steps to "
+        "<run_dir>/trace (view in XProf/TensorBoard)",
+    )
     args = p.parse_args()
 
     from ddsp_pytorch_tpu.config import Config
@@ -53,6 +59,14 @@ def main():
 
     trainer = Trainer(config, run_dir, mesh=mesh)
     try:
+        if args.profile:
+            from os import path as _p
+
+            from ddsp_pytorch_tpu.training.profiling import trace
+
+            steps = min(30, config.train.steps)
+            with trace(_p.join(run_dir, "trace")):
+                trainer.fit(dm, total_steps=steps)
         trainer.fit(dm)
     finally:
         trainer.close()
