@@ -91,6 +91,11 @@ class TrainConfig:
     # (phase accumulation requires it — SURVEY.md §7 hard part #2).
     use_bf16: bool = False
     grad_clip_norm: Optional[float] = None
+    # Linear LR decay: lr → lr_stop over lr_decay_steps, then constant.
+    # The reference ships this schedule (utils.py:5-14) but never applies it
+    # (SURVEY.md §2.8.6); here it is wired in when lr_stop is set.
+    lr_stop: Optional[float] = None
+    lr_decay_steps: Optional[int] = None
 
 
 @dataclass

@@ -31,9 +31,17 @@ from ddsp_pytorch_tpu.training.state import Checkpointer, TrainState, create_tra
 
 
 def make_optimizer(config: Config) -> optax.GradientTransformation:
-    tx = optax.adam(config.train.lr)
-    if config.train.grad_clip_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(config.train.grad_clip_norm), tx)
+    tc = config.train
+    if tc.lr_stop is not None:
+        # Linear decay lr → lr_stop over lr_decay_steps, then constant
+        # (the schedule the reference defines at utils.py:5-14).
+        decay_steps = tc.lr_decay_steps or tc.steps
+        lr = optax.linear_schedule(tc.lr, tc.lr_stop, decay_steps)
+    else:
+        lr = tc.lr  # reference behavior: constant-LR Adam (train.py:62)
+    tx = optax.adam(lr)
+    if tc.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
     return tx
 
 
@@ -183,6 +191,34 @@ class Trainer:
 
     # -------------------------------------------------------------- loops
     def fit(self, datamodule, total_steps: Optional[int] = None) -> TrainState:
+        """Run training to total_steps (resumes from the latest checkpoint).
+
+        Preemption-safe: SIGTERM/SIGINT set a flag; the loop checkpoints the
+        full state and returns at the next step boundary, and `fit` again
+        resumes exactly (the elastic-recovery story the reference lacks —
+        SURVEY.md §5 failure detection).
+        """
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            preempted["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread
+                pass
+
+        try:
+            return self._fit(datamodule, total_steps, preempted)
+        finally:
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
+
+    def _fit(self, datamodule, total_steps, preempted) -> TrainState:
         cfg = self.config
         total_steps = total_steps or cfg.train.steps
         train_loader = datamodule.train_dataloader()
@@ -226,6 +262,9 @@ class Trainer:
                 n_elem += 1
                 mean_loss += (loss - mean_loss) / n_elem
 
+                if preempted["flag"]:
+                    self.checkpointer.save(state, wait=True)
+                    return state
                 if step % cfg.train.checkpoint_every_steps == 0:
                     self.checkpointer.save(state)
                 if step % 100 == 0:

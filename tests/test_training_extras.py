@@ -1,0 +1,139 @@
+"""Extra training coverage: autoencoder train step, LR schedule,
+preemption-safe checkpointing."""
+
+import os
+import signal
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_pytorch_tpu.config import Config
+from ddsp_pytorch_tpu.models import load_model
+from ddsp_pytorch_tpu.training import create_train_state, make_train_step
+from ddsp_pytorch_tpu.training.train import make_optimizer
+
+
+def test_autoencoder_train_step_runs_and_learns(rng):
+    """One jitted train step of the mfcc-autoencoder: finite loss, nonzero
+    grads through the encoder."""
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": 16000, "signal_length": 2048,
+                           "block_size": 64},
+            "model": {
+                "name": "mfcc-autoencoder",
+                "kwargs": {
+                    "hidden_size": 16,
+                    "n_harmonic": 4,
+                    "n_bands": 5,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256, 128], "overlap": 0.75, "batch": 2},
+        }
+    )
+    model = load_model(cfg)
+    f = cfg.n_frames
+    batch = {
+        "sig": jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32)),
+        "pitch": jnp.asarray(rng.uniform(100, 300, (2, f, 1)).astype(np.float32)),
+        "loudness": jnp.asarray(rng.standard_normal((2, f, 1)).astype(np.float32)),
+        "mfcc": jnp.asarray(rng.standard_normal((2, f, 30)).astype(np.float32)),
+    }
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, batch, tx)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # encoder params must move (gradient flows through z)
+    before = jax.tree.leaves(state.params["encoder"])
+    after = jax.tree.leaves(new_state.params["encoder"])
+    assert any(
+        not np.allclose(a, b) for a, b in zip(before, after)
+    ), "encoder got no gradient"
+
+
+def test_lr_schedule_wiring():
+    """lr_stop enables the reference's (shipped-but-unused) linear decay."""
+    import optax
+
+    cfg = Config()
+    cfg.train.lr = 1e-3
+    cfg.train.lr_stop = 1e-5
+    cfg.train.lr_decay_steps = 100
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.zeros((3,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    # step sizes shrink over the schedule
+    u0, opt_state = tx.update(g, opt_state, params)
+    for _ in range(99):
+        u_last, opt_state = tx.update(g, opt_state, params)
+    assert abs(float(u_last["w"][0])) < abs(float(u0["w"][0]))
+
+
+@pytest.mark.slow
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training → checkpoint written; second fit resumes and
+    finishes the remaining steps."""
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(
+        cache, n_items=4, sample_rate=16000, signal_length=4096, block_size=128,
+        n_harmonic=4,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": 16000,
+                "signal_length": 4096,
+                "block_size": 128,
+                "out_dir": cache,
+            },
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 16,
+                    "n_harmonic": 4,
+                    "n_bands": 5,
+                    "sample_rate": 16000,
+                    "block_size": 128,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256], "batch": 2, "steps": 40,
+                      "checkpoint_every_steps": 1000},
+        }
+    )
+    run_dir = os.path.join(tmp_path, "run")
+    dm = Datamodule(cfg)
+    dm.setup()
+
+    # fire SIGTERM shortly after training starts
+    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
+    pid = os.getpid()
+    timer = threading.Timer(8.0, lambda: os.kill(pid, signal.SIGTERM))
+    timer.start()
+    try:
+        state = trainer.fit(dm)
+    finally:
+        timer.cancel()
+        trainer.close()
+    interrupted_step = int(state.step)
+    assert interrupted_step < 40, "SIGTERM did not interrupt the run"
+
+    trainer2 = Trainer(cfg, run_dir, use_tensorboard=False)
+    try:
+        state2 = trainer2.fit(dm)
+    finally:
+        trainer2.close()
+    assert int(state2.step) >= 40
