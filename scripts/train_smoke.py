@@ -20,6 +20,11 @@ def main():
     p.add_argument("--root", default="/tmp/ddsp_smoke")
     p.add_argument("--sample-rate", type=int, default=48000)
     p.add_argument("--platform", default=None, help="cpu to force CPU")
+    p.add_argument(
+        "--model",
+        default="single-inst-decoder",
+        choices=["single-inst-decoder", "mfcc-autoencoder"],
+    )
     args = p.parse_args()
 
     if args.platform:
@@ -55,7 +60,7 @@ def main():
                 "out_dir": cache,
             },
             "model": {
-                "name": "single-inst-decoder",
+                "name": args.model,
                 "kwargs": {
                     "hidden_size": 512,
                     "n_harmonic": 64,
@@ -78,7 +83,8 @@ def main():
         }
     )
 
-    run_dir = os.path.join(args.root, "runs", "smoke")
+    tag = "smoke" if args.model == "single-inst-decoder" else "smoke-ae"
+    run_dir = os.path.join(args.root, "runs", tag)
     dm = Datamodule(cfg)
     dm.setup()
     trainer = Trainer(cfg, run_dir, use_tensorboard=False)
@@ -98,7 +104,7 @@ def main():
     print(f"loss first10 mean: {sum(losses[:10]) / 10:.4f}")
     print(f"loss last10  mean: {sum(losses[-10:]) / 10:.4f}")
 
-    bundle = export_run(run_dir, os.path.join(args.root, "export"), name="smoke")
+    bundle = export_run(run_dir, os.path.join(args.root, "export"), name=tag)
     print(f"bundle: {bundle}")
 
 

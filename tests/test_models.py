@@ -78,6 +78,39 @@ def test_gru_matches_torch_gru(rng):
     np.testing.assert_allclose(got_h, want_h[0].numpy(), rtol=1e-4, atol=1e-5)
 
 
+def test_mlp_matches_torch_stack(rng):
+    """MLP block == torch Linear→LayerNorm→LeakyReLU stack with identical
+    weights (reference core.py:122-129)."""
+    from ddsp_pytorch_tpu.models.decoder import MLP
+
+    in_dim, hidden, n_layers = 7, 12, 3
+    x = rng.standard_normal((4, 9, in_dim)).astype(np.float32)
+    mlp = MLP(hidden_size=hidden, n_layers=n_layers)
+    params = mlp.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    layers = []
+    dims = [in_dim] + n_layers * [hidden]
+    with torch.no_grad():
+        for i in range(n_layers):
+            lin = torch.nn.Linear(dims[i], dims[i + 1])
+            lin.weight.copy_(
+                torch.tensor(np.asarray(params[f"Dense_{i}"]["kernel"]).T)
+            )
+            lin.bias.copy_(torch.tensor(np.asarray(params[f"Dense_{i}"]["bias"])))
+            norm = torch.nn.LayerNorm(dims[i + 1])
+            norm.weight.copy_(
+                torch.tensor(np.asarray(params[f"LayerNorm_{i}"]["scale"]))
+            )
+            norm.bias.copy_(
+                torch.tensor(np.asarray(params[f"LayerNorm_{i}"]["bias"]))
+            )
+            layers += [lin, norm, torch.nn.LeakyReLU()]
+        want = torch.nn.Sequential(*layers)(torch.tensor(x)).numpy()
+
+    got = mlp.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
 def test_gru_initial_state_continuation(rng):
     """Splitting a sequence and carrying the state equals one pass."""
     gru = GRU(hidden_size=8)
