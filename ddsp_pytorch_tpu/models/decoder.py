@@ -251,3 +251,11 @@ class DDSPDecoder(nn.Module):
         )
         noise_audio = self.noise_synth(**noise_ctrls, noise=noise)
         return harmonic + noise_audio, new_gru_state, new_phase
+
+    @staticmethod
+    def reconstruction_report(output: dict, config, index: int = 0):
+        """2×3 diagnostic figure (reference decoder.py:160-191); delegates to
+        training/reports.py which builds it from an eval-step output dict."""
+        from ddsp_pytorch_tpu.training.reports import reconstruction_report
+
+        return reconstruction_report(output, config, index=index)

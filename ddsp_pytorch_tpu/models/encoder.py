@@ -106,3 +106,10 @@ class DDSPAutoencoder(nn.Module):
             "harmonic_ctrls": harmonic_ctrls,
             "z": z,
         }
+
+    @staticmethod
+    def reconstruction_report(output: dict, config, index: int = 0):
+        """2×3 diagnostic figure (reference encoder.py:105-141)."""
+        from ddsp_pytorch_tpu.training.reports import reconstruction_report
+
+        return reconstruction_report(output, config, index=index)

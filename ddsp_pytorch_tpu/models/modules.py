@@ -71,6 +71,19 @@ class HarmonicSynth(nn.Module):
             use_pallas=self.use_pallas,
         )
 
+    @staticmethod
+    def plot(ax, ctrls: dict, index: int = 0):
+        """Harmonic-distribution heatmap (reference modules.py:82-98)."""
+        import numpy as np
+
+        from ddsp_pytorch_tpu.utils.plots import plot_spec
+
+        dist = np.asarray(ctrls["harmonic_distribution"])[index].T
+        ax.set_title("harmonic distribution")
+        ax.set_xlabel("frames")
+        ax.set_ylabel("harmonic number")
+        return plot_spec(dist, ax, amp_to_db=True)
+
 
 class FilteredNoise(nn.Module):
     """Subtractive synthesizer: frame-wise FIR-filtered uniform noise.
@@ -96,6 +109,19 @@ class FilteredNoise(nn.Module):
         else:
             rng = None
         return ops.filtered_noise(magnitudes, self.block_size, rng, noise=noise)
+
+    @staticmethod
+    def plot(ax, ctrls: dict, index: int = 0):
+        """Noise-magnitude heatmap (reference modules.py:130-146)."""
+        import numpy as np
+
+        from ddsp_pytorch_tpu.utils.plots import plot_spec
+
+        mags = np.asarray(ctrls["magnitudes"])[index].T
+        ax.set_title("noise magnitude")
+        ax.set_xlabel("frames")
+        ax.set_ylabel("frequency bin")
+        return plot_spec(mags, ax, amp_to_db=True)
 
 
 class Reverb(nn.Module):

@@ -76,6 +76,21 @@ def make_train_step(
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        # NaN guard: a non-finite loss (bad batch, overflow) skips the
+        # update instead of poisoning the parameters — the step still
+        # advances so the data order stays deterministic.  The reference
+        # would silently corrupt the run (no guard anywhere).
+        finite = jnp.isfinite(loss)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), params, state.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            opt_state,
+            state.opt_state,
+        )
+
         new_state = state.replace(
             step=state.step + 1,
             params=params,
@@ -85,6 +100,7 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            "update_skipped": jnp.logical_not(finite).astype(jnp.int32),
         }
         return new_state, metrics
 

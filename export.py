@@ -14,12 +14,33 @@ def main():
     p.add_argument("--run", required=True)
     p.add_argument("--out-dir", default="export")
     p.add_argument("--name", default=None)
+    p.add_argument(
+        "--data",
+        action="store_true",
+        help="also copy the training wavs next to the bundle "
+        "(reference export.py DATA option)",
+    )
     args = p.parse_args()
 
     from ddsp_pytorch_tpu.export import export_run
 
     bundle = export_run(args.run, args.out_dir, name=args.name)
     print(f"exported bundle: {bundle}")
+
+    if args.data:
+        import shutil
+        from os import makedirs, path
+
+        from ddsp_pytorch_tpu.config import Config
+        from ddsp_pytorch_tpu.data.preprocess import get_files
+
+        config = Config.from_yaml(path.join(bundle, "config.yaml"))
+        data_dir = path.join(args.out_dir, "data")
+        makedirs(data_dir, exist_ok=True)
+        files = get_files(config.data.data_location, config.data.extension)
+        for f in files:
+            shutil.copy2(f, data_dir)
+        print(f"copied {len(files)} wavs to {data_dir}")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,46 @@ def test_autoencoder_train_step_runs_and_learns(rng):
     ), "encoder got no gradient"
 
 
+def test_nan_guard_skips_update(rng):
+    """A batch that produces a non-finite loss must leave params unchanged
+    (and flag update_skipped) instead of poisoning the run."""
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": 16000, "signal_length": 1024,
+                           "block_size": 64},
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 8,
+                    "n_harmonic": 2,
+                    "n_bands": 3,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256], "overlap": 0.75},
+        }
+    )
+    model = load_model(cfg)
+    f = cfg.n_frames
+    batch = {
+        "sig": jnp.full((1, 1024), jnp.nan),  # poisoned target
+        "pitch": jnp.full((1, f, 1), 200.0),
+        "loudness": jnp.zeros((1, f, 1)),
+    }
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, batch, tx)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    new_state, metrics = step(state, batch)
+    assert int(metrics["update_skipped"]) == 1
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(a, b)
+    assert int(new_state.step) == 1  # step still advances
+
+
 def test_lr_schedule_wiring():
     """lr_stop enables the reference's (shipped-but-unused) linear decay."""
     import optax
