@@ -65,29 +65,47 @@ class DataLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """batch_size is the *per-shard* batch.  With num_shards > 1 (one
+        shard per host in a multi-host run) every shard derives the same
+        global order from (seed, epoch) and takes its interleaved slice, so
+        the union of shards is exactly the single-host epoch."""
+        assert 0 <= shard_index < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _shard_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        if self.num_shards > 1:
+            # interleaved split of the shared global order; truncate to the
+            # common length so shards stay in lockstep
+            per = len(order) // self.num_shards
+            order = order[self.shard_index :: self.num_shards][:per]
+        return order
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._shard_order())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
-            rng.shuffle(order)
+        order = self._shard_order()
+        n = len(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
             idx = order[start : start + self.batch_size]
@@ -108,12 +126,21 @@ class Datamodule:
         self.val_data = Dataset(out_dir / "validation")
 
     def train_dataloader(self) -> DataLoader:
+        # Multi-host: config.train.batch is the *global* batch; each host
+        # loads its interleaved shard of it (jax.process_count()==1 on a
+        # single host, preserving reference behavior).
+        import jax
+
+        nproc = jax.process_count()
+        per_host = max(1, self.config.train.batch // nproc)
         return DataLoader(
             self.train_data,
-            batch_size=self.config.train.batch,
+            batch_size=per_host,
             shuffle=True,
             drop_last=True,
             seed=self.config.train.seed,
+            num_shards=nproc,
+            shard_index=jax.process_index(),
         )
 
     def val_dataloader(self) -> DataLoader:

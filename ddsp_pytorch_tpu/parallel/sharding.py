@@ -28,7 +28,23 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    return jax.device_put(batch, data_sharded(mesh))
+    """Place a batch with its leading axis over 'data'.
+
+    Single-host: one device_put.  Multi-host: each process holds only its
+    local slice of the global batch (data/dataset.py interleaved shards), so
+    the global array is assembled with make_array_from_process_local_data.
+    """
+    sharding = data_sharded(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
 
 
 def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:

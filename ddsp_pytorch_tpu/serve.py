@@ -1,0 +1,186 @@
+"""Realtime streaming server: remote clients drive a TPU-hosted model.
+
+The reference embeds its model inside the DAW process (libtorch in a Pd
+external).  A TPU cannot live inside a DAW, so the production-shaped
+deployment is a small socket server on the TPU host: clients stream
+pitch/loudness blocks, the server answers with rendered audio, state (GRU
+carry + oscillator phase) lives server-side per connection.
+
+Wire protocol (little-endian):
+  hello:    server → client: magic b'DDSP', uint32 sample_rate,
+            uint32 block_size
+  request:  client → server: uint32 n (samples, multiple of block_size),
+            n float32 pitch, n float32 loudness
+  response: server → client: uint32 n, n float32 audio
+  n == 0 from the client closes the session.
+
+One thread per connection; each connection gets its own StreamState, all
+sharing the one compiled step function (the model dispatch is ~0.5 ms, so a
+single chip serves hundreds of realtime voices — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+MAGIC = b"DDSP"
+
+
+def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+class StreamServer:
+    def __init__(self, bundle_dir: str, host: str = "127.0.0.1", port: int = 0):
+        from ddsp_pytorch_tpu.export import load_bundle
+
+        self._bundle_dir = bundle_dir
+        model, params, config = load_bundle(bundle_dir)
+        self._model = model
+        self._params = params
+        self._config = config
+        self.sample_rate = int(config.preprocess.sample_rate)
+        self.block_size = int(config.preprocess.block_size)
+
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(8)
+        self.address = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._threads = []
+        self._lock = threading.Lock()  # serialize device dispatch
+
+    # ------------------------------------------------------------ session
+    def _make_synth(self):
+        from ddsp_pytorch_tpu.streaming import StreamingSynth
+
+        return StreamingSynth(
+            self._model,
+            self._params,
+            mean_loudness=self._config.data.mean_loudness or 0.0,
+            std_loudness=self._config.data.std_loudness or 1.0,
+            batch=1,
+        )
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        try:
+            conn.sendall(
+                MAGIC + struct.pack("<II", self.sample_rate, self.block_size)
+            )
+            synth = self._make_synth()
+            while not self._stop.is_set():
+                head = _recv_exact(conn, 4)
+                if head is None:
+                    return
+                (n,) = struct.unpack("<I", head)
+                if n == 0:
+                    return
+                if n % self.block_size != 0:
+                    conn.sendall(struct.pack("<I", 0))
+                    return
+                payload = _recv_exact(conn, 8 * n)
+                if payload is None:
+                    return
+                data = np.frombuffer(payload, np.float32)
+                pitch, loud = data[:n], data[n:]
+                with self._lock:
+                    audio = np.asarray(
+                        synth.step_samples(pitch[None, :], loud[None, :])
+                    )[0]
+                conn.sendall(struct.pack("<I", n) + audio.astype(np.float32).tobytes())
+        finally:
+            conn.close()
+
+    # ------------------------------------------------------------- control
+    def serve_forever(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def start(self) -> None:
+        self._acceptor = threading.Thread(target=self.serve_forever, daemon=True)
+        self._acceptor.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=2)
+
+
+class StreamClient:
+    """Minimal client for the protocol above."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        hello = _recv_exact(self._sock, 4 + 8)
+        assert hello is not None and hello[:4] == MAGIC, "bad server hello"
+        self.sample_rate, self.block_size = struct.unpack("<II", hello[4:])
+
+    def render(self, pitch: np.ndarray, loudness: np.ndarray) -> np.ndarray:
+        pitch = np.ascontiguousarray(pitch, np.float32)
+        loudness = np.ascontiguousarray(loudness, np.float32)
+        n = len(pitch)
+        self._sock.sendall(
+            struct.pack("<I", n) + pitch.tobytes() + loudness.tobytes()
+        )
+        head = _recv_exact(self._sock, 4)
+        assert head is not None, "server closed"
+        (m,) = struct.unpack("<I", head)
+        assert m == n, f"server rejected request (n={n} % block != 0?)"
+        payload = _recv_exact(self._sock, 4 * n)
+        assert payload is not None
+        return np.frombuffer(payload, np.float32).copy()
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(struct.pack("<I", 0))
+        except OSError:
+            pass
+        self._sock.close()
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Serve an exported bundle for realtime streaming."
+    )
+    p.add_argument("--bundle", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7770)
+    args = p.parse_args()
+
+    server = StreamServer(args.bundle, args.host, args.port)
+    print(
+        f"serving {args.bundle} on {server.address} "
+        f"(sr={server.sample_rate}, block={server.block_size})"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

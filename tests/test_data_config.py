@@ -50,6 +50,28 @@ def test_loader_deterministic_per_epoch(cache):
     assert not np.allclose(a, c)  # different epoch → different order
 
 
+def test_loader_host_sharding(cache):
+    """Interleaved host shards partition the exact single-host epoch order
+    (multi-host data loading, one loader per process)."""
+    ds = Dataset(os.path.join(cache, "train"))
+    full = DataLoader(ds, batch_size=1, shuffle=True, seed=3)
+    full.set_epoch(2)
+    global_order = [float(b["sig"].sum()) for b in full]
+
+    sharded = []
+    for shard in range(2):
+        dl = DataLoader(
+            ds, batch_size=1, shuffle=True, seed=3, num_shards=2,
+            shard_index=shard,
+        )
+        dl.set_epoch(2)
+        sharded.append([float(b["sig"].sum()) for b in dl])
+    assert len(sharded[0]) == len(sharded[1])  # lockstep
+    # interleaved reconstruction matches the global order prefix
+    recon = [x for pair in zip(sharded[0], sharded[1]) for x in pair]
+    np.testing.assert_allclose(recon, global_order[: len(recon)])
+
+
 def test_loader_drop_last(cache):
     ds = Dataset(os.path.join(cache, "train"))
     assert len(DataLoader(ds, batch_size=2, drop_last=True)) == 2

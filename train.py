@@ -25,12 +25,23 @@ def main():
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
     p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="call jax.distributed.initialize() (coordinator from env: "
+        "JAX_COORDINATOR_ADDRESS etc.) before building the mesh",
+    )
+    p.add_argument(
         "--profile",
         action="store_true",
         help="capture a jax.profiler trace of the first ~30 steps to "
         "<run_dir>/trace (view in XProf/TensorBoard)",
     )
     args = p.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from ddsp_pytorch_tpu.config import Config
     from ddsp_pytorch_tpu.data import Datamodule
