@@ -87,6 +87,11 @@ class TrainConfig:
     log_interval_epochs: int = 1  # reference train.py:16
     checkpoint_every_steps: int = 2000
     keep_checkpoints: int = 3
+    # Scalars are buffered on device and fetched in batches every N steps:
+    # one device→host sync per N steps instead of per step (a per-step
+    # scalar pull stalls the dispatch pipeline; on remote-tunneled chips it
+    # dominates wall clock).  1 = reference behavior (pull every step).
+    metrics_flush_steps: int = 20
     # bf16 matmuls for the NN (decoder/encoder); DSP synthesis stays f32
     # (phase accumulation requires it — SURVEY.md §7 hard part #2).
     use_bf16: bool = False

@@ -3,6 +3,7 @@
 from ddsp_pytorch_tpu.data.dataset import (  # noqa: F401
     Dataset,
     DataLoader,
+    DeviceDataLoader,
     Datamodule,
     dict_collate,
 )

@@ -112,11 +112,82 @@ class DataLoader:
             yield dict_collate([self.dataset[int(i)] for i in idx])
 
 
-class Datamodule:
-    """Train/val loader pair from a Config (reference data.py:35-56)."""
+class DeviceDataLoader:
+    """Device-resident loader: uploads the whole feature cache to the
+    accelerator once and assembles batches by on-device indexing.
 
-    def __init__(self, config):
+    For DDSP-scale datasets (minutes of audio ≈ tens of MB) this removes the
+    per-step host→device batch transfer entirely — on hosts with slow
+    transport (or remote-tunneled chips) that transfer dominates the 0.5 ms
+    train step.  Same deterministic (seed, epoch) order as DataLoader.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self._n = len(dataset)
+        # one upload per array; trailing feature axes added like __getitem__
+        self._data = {
+            "sig": jnp.asarray(np.asarray(dataset.signals, np.float32)),
+            "pitch": jnp.asarray(np.asarray(dataset.pitchs, np.float32))[..., None],
+            "loudness": jnp.asarray(np.asarray(dataset.loudness, np.float32))[
+                ..., None
+            ],
+        }
+        if dataset.mfccs is not None:
+            self._data["mfcc"] = jnp.asarray(
+                np.asarray(dataset.mfccs, np.float32)
+            )[:, :-1, :]
+        self._take = jax.jit(lambda data, idx: jax.tree.map(lambda a: a[idx], data))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self._n // self.batch_size
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        order = np.arange(self._n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        end = (
+            (self._n // self.batch_size) * self.batch_size
+            if self.drop_last
+            else self._n
+        )
+        for start in range(0, end, self.batch_size):
+            idx = jnp.asarray(order[start : start + self.batch_size])
+            yield self._take(self._data, idx)
+
+
+class Datamodule:
+    """Train/val loader pair from a Config (reference data.py:35-56).
+
+    device_cache=True swaps in DeviceDataLoader (whole cache uploaded once;
+    single-host only — multi-host runs use the sharded host loaders).
+    """
+
+    def __init__(self, config, device_cache: bool = False):
         self.config = config
+        self.device_cache = device_cache
         self.train_data: Optional[Dataset] = None
         self.val_data: Optional[Dataset] = None
 
@@ -125,13 +196,21 @@ class Datamodule:
         self.train_data = Dataset(out_dir / "train")
         self.val_data = Dataset(out_dir / "validation")
 
-    def train_dataloader(self) -> DataLoader:
+    def train_dataloader(self):
         # Multi-host: config.train.batch is the *global* batch; each host
         # loads its interleaved shard of it (jax.process_count()==1 on a
         # single host, preserving reference behavior).
         import jax
 
         nproc = jax.process_count()
+        if self.device_cache and nproc == 1:
+            return DeviceDataLoader(
+                self.train_data,
+                batch_size=self.config.train.batch,
+                shuffle=True,
+                drop_last=True,
+                seed=self.config.train.seed,
+            )
         per_host = max(1, self.config.train.batch // nproc)
         return DataLoader(
             self.train_data,

@@ -268,17 +268,38 @@ class Trainer:
         step = start_step
         t_last, s_last = time.time(), step
         start_epoch = start_step // max(1, steps_per_epoch)
+
+        # Device-side metric buffer: scalars are fetched in one device_get
+        # every metrics_flush_steps instead of per step — a per-step pull
+        # stalls the dispatch pipeline (config.py TrainConfig note).
+        pending = []  # list of (step, metrics-dict of device scalars)
+        flush_every = max(1, cfg.train.metrics_flush_steps)
+
+        def flush_metrics():
+            nonlocal mean_loss, n_elem
+            if not pending:
+                return
+            fetched = jax.device_get([m for _, m in pending])
+            for (s, _), m in zip(pending, fetched):
+                loss = float(m["loss"])
+                self.metrics.add_scalar("loss", loss, s)
+                if int(m.get("update_skipped", 0)):
+                    self.metrics.add_scalar("update_skipped", 1, s)
+                n_elem += 1
+                mean_loss += (loss - mean_loss) / n_elem
+            pending.clear()
+
         for epoch in range(start_epoch, n_epochs):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
                 state, metrics = self._train_step(state, self.shard_batch(batch))
                 step += 1
-                loss = float(metrics["loss"])
-                self.metrics.add_scalar("loss", loss, step)
-                n_elem += 1
-                mean_loss += (loss - mean_loss) / n_elem
+                pending.append((step, metrics))
+                if len(pending) >= flush_every:
+                    flush_metrics()
 
                 if preempted["flag"]:
+                    flush_metrics()
                     self.checkpointer.save(state, wait=True)
                     return state
                 if step % cfg.train.checkpoint_every_steps == 0:
@@ -290,6 +311,7 @@ class Trainer:
                     t_last, s_last = now, step
                 if step >= total_steps:
                     break
+            flush_metrics()
 
             if epoch % cfg.train.val_interval_epochs == 0:
                 self._run_validation(state, val_loader, step)
@@ -306,6 +328,7 @@ class Trainer:
             if step >= total_steps:
                 break
 
+        flush_metrics()
         self.checkpointer.save(state, wait=True)
         return state
 

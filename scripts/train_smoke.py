@@ -25,6 +25,7 @@ def main():
         default="single-inst-decoder",
         choices=["single-inst-decoder", "mfcc-autoencoder"],
     )
+    p.add_argument("--device-cache", action="store_true")
     args = p.parse_args()
 
     if args.platform:
@@ -85,7 +86,7 @@ def main():
 
     tag = "smoke" if args.model == "single-inst-decoder" else "smoke-ae"
     run_dir = os.path.join(args.root, "runs", tag)
-    dm = Datamodule(cfg)
+    dm = Datamodule(cfg, device_cache=args.device_cache)
     dm.setup()
     trainer = Trainer(cfg, run_dir, use_tensorboard=False)
     try:

@@ -78,6 +78,22 @@ def test_loader_drop_last(cache):
     assert len(DataLoader(ds, batch_size=2, drop_last=False)) == 3
 
 
+def test_device_loader_matches_host_loader(cache):
+    """DeviceDataLoader yields the same batches (same (seed, epoch) order)
+    as the host loader — on device."""
+    from ddsp_pytorch_tpu.data import DeviceDataLoader
+
+    ds = Dataset(os.path.join(cache, "train"))
+    host = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=5)
+    dev = DeviceDataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=5)
+    host.set_epoch(1)
+    dev.set_epoch(1)
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        for k in hb:
+            np.testing.assert_allclose(np.asarray(db[k]), hb[k], rtol=1e-6)
+
+
 def test_synthetic_pitch_is_ground_truth(cache):
     """The stored pitch must match what a tracker would recover — i.e. the
     audio really is a harmonic tone at the stored f0."""

@@ -25,6 +25,13 @@ def main():
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
     p.add_argument(
+        "--device-cache",
+        action="store_true",
+        help="upload the whole feature cache to the accelerator once and "
+        "batch by on-device indexing (removes per-step host transfer; "
+        "single-host, dataset must fit HBM)",
+    )
+    p.add_argument(
         "--multihost",
         action="store_true",
         help="call jax.distributed.initialize() (coordinator from env: "
@@ -65,7 +72,7 @@ def main():
             mesh = make_mesh(data=args.mesh_data, time=args.mesh_time)
 
     run_dir = path.join(args.root, args.name)
-    dm = Datamodule(config)
+    dm = Datamodule(config, device_cache=args.device_cache)
     dm.setup()
 
     trainer = Trainer(config, run_dir, mesh=mesh)
