@@ -134,8 +134,9 @@ def sharded_fft_convolve_causal(
     )[:, : c + l - 1]
 
     out = full[:, :c]
-    n_hops = -(-(l - 1) // c)  # ceil((L-1)/C)
     n_shards = jax.lax.axis_size(axis)
+    # tail pieces beyond the last shard fall off the end of the signal
+    n_hops = min(-(-(l - 1) // c), n_shards - 1)  # ceil((L-1)/C), clamped
     for k in range(1, n_hops + 1):
         piece = full[:, k * c : (k + 1) * c]
         piece = jnp.pad(piece, ((0, 0), (0, c - piece.shape[-1])))
@@ -190,6 +191,16 @@ def sharded_scale_mags(
     """
     b, c = x_local.shape
     pad = n_fft // 2
+    if c % hop != 0:
+        raise ValueError(
+            f"time-shard chunk ({c}) must be a multiple of the STFT hop "
+            f"({hop}); choose a shard count dividing T/hop"
+        )
+    if pad > c:
+        raise ValueError(
+            f"n_fft/2 ({pad}) exceeds the time-shard chunk ({c}); use fewer "
+            f"time shards or smaller FFT scales"
+        )
     ext = _halo_exchange(x_local, pad, axis)
     n_loc = c // hop + 1  # +1 slot: only the last shard's is globally valid
     frames = _local_frames(ext, n_fft, hop, n_loc)

@@ -29,13 +29,17 @@ class StreamState:
     gru: jax.Array  # (B, hidden)
     phase: jax.Array  # (B,)
     rng: jax.Array  # PRNG key for the noise synth
+    reverb: Optional[object] = None  # partitioned-conv ConvState, if enabled
 
 
-def init_stream_state(hidden_size: int, batch: int = 1, seed: int = 0) -> StreamState:
+def init_stream_state(
+    hidden_size: int, batch: int = 1, seed: int = 0, reverb_state=None
+) -> StreamState:
     return StreamState(
         gru=jnp.zeros((batch, hidden_size), jnp.float32),
         phase=jnp.zeros((batch,), jnp.float32),
         rng=jax.random.PRNGKey(seed),
+        reverb=reverb_state,
     )
 
 
@@ -50,8 +54,11 @@ class StreamingSynth:
     export wrapper (export.py:36-37).
 
     Loudness normalization stats are baked in (export.py:29-30 parity).
-    No reverb, matching the reference's realtime contract — the exported
-    impulse is applied externally.
+    Reverb: off by default (the reference's realtime contract applies the
+    exported impulse externally); include_reverb=True renders the trained
+    reverb *in-stream* via partitioned convolution (ops/partitioned_conv.py)
+    with the 1 s IR's frequency-domain delay line carried in the state —
+    a capability the reference delegates to Pd's partconv~.
     """
 
     def __init__(
@@ -62,7 +69,10 @@ class StreamingSynth:
         std_loudness: float = 1.0,
         batch: int = 1,
         seed: int = 0,
-        noise_deterministic: bool = False,
+        noise_deterministic: bool = False,  # zero noise draw: harmonic-only
+        # output (used by equivalence tests and latency benchmarks where the
+        # stochastic branch would mask comparisons)
+        include_reverb: bool = False,
     ):
         self.model = model
         self.params = params
@@ -70,8 +80,23 @@ class StreamingSynth:
         self.sample_rate = int(model.sample_rate)
         self.mean_loudness = float(mean_loudness)
         self.std_loudness = float(std_loudness)
-        self.state = init_stream_state(model.hidden_size, batch, seed)
         self._noise_deterministic = noise_deterministic
+        self._batch = batch
+
+        self._pir = None
+        if include_reverb:
+            if "reverb" not in params:
+                raise ValueError("include_reverb=True but model has no reverb")
+            from ddsp_pytorch_tpu.models.modules import Reverb
+            from ddsp_pytorch_tpu.ops import partitioned_conv as pconv
+
+            reverb = Reverb(self.sample_rate, self.sample_rate)
+            ir = reverb.apply(
+                {"params": params["reverb"]}, method=reverb.build_impulse
+            )
+            self._pir = pconv.partition_ir(ir, self.block_size)
+
+        self.state = self._fresh_state(batch, seed)
 
         def step_fn(params, state: StreamState, f0, loudness):
             loudness = (loudness - self.mean_loudness) / self.std_loudness
@@ -93,13 +118,31 @@ class StreamingSynth:
                 noise,
                 method=model.streaming_step,
             )
-            return audio, StreamState(gru=gru, phase=phase, rng=rng)
+            reverb_state = state.reverb
+            if self._pir is not None:
+                from ddsp_pytorch_tpu.ops import partitioned_conv as pconv
+
+                audio, reverb_state = pconv.streaming_convolve(
+                    self._pir, reverb_state, audio
+                )
+            return audio, StreamState(
+                gru=gru, phase=phase, rng=rng, reverb=reverb_state
+            )
 
         self._step = jax.jit(step_fn, donate_argnums=(1,))
 
+    def _fresh_state(self, batch: int, seed: int) -> StreamState:
+        reverb_state = None
+        if self._pir is not None:
+            from ddsp_pytorch_tpu.ops import partitioned_conv as pconv
+
+            reverb_state = pconv.init_state(self._pir, (batch,))
+        return init_stream_state(
+            self.model.hidden_size, batch, seed, reverb_state
+        )
+
     def reset(self, seed: int = 0) -> None:
-        b = self.state.gru.shape[0]
-        self.state = init_stream_state(self.model.hidden_size, b, seed)
+        self.state = self._fresh_state(self._batch, seed)
 
     def step(self, f0_frames, loudness_frames) -> np.ndarray:
         """Frame-rate controls (B, F, 1) → (B, F*block_size) audio."""
