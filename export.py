@@ -11,6 +11,8 @@ import argparse
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
     p.add_argument("--run", required=True)
     p.add_argument("--out-dir", default="export")
     p.add_argument("--name", default=None)
@@ -21,6 +23,10 @@ def main():
         "(reference export.py DATA option)",
     )
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from ddsp_pytorch_tpu.export import export_run
 

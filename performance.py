@@ -80,10 +80,16 @@ def run_benchmark(bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
     p.add_argument("--bundle", default=None)
     p.add_argument("--n-run", type=int, default=10)
     p.add_argument("--batch", type=int, default=1)
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     r = run_benchmark(args.bundle, args.n_run, args.batch)
     smiley = ":)" if r["x_realtime"] >= 1 else ":("

@@ -14,10 +14,16 @@ import argparse
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
     p.add_argument("--config", default="configs/config.yaml")
     p.add_argument("--from-sigmund", default=None, metavar="WAV")
     p.add_argument("--partition", default=None)
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from ddsp_pytorch_tpu.config import Config
 

@@ -25,6 +25,11 @@ def main():
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
     p.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. cpu); overrides environment defaults",
+    )
+    p.add_argument(
         "--device-cache",
         action="store_true",
         help="upload the whole feature cache to the accelerator once and "
@@ -45,6 +50,10 @@ def main():
     )
     args = p.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.multihost:
         import jax
 

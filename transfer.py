@@ -14,6 +14,8 @@ import argparse
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
     p.add_argument("--bundle", required=True)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -21,6 +23,10 @@ def main():
     p.add_argument("--loudness-shift", type=float, default=0.0)
     p.add_argument("--no-reverb", action="store_true")
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from ddsp_pytorch_tpu.config import Config
     from ddsp_pytorch_tpu.inference import timbre_transfer
