@@ -8,7 +8,6 @@ is a first-class batch API (and the `transfer.py` CLI).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

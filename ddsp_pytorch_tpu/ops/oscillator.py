@@ -31,7 +31,6 @@ Two execution paths:
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

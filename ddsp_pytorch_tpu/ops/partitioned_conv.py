@@ -19,7 +19,6 @@ Per-block cost: 2 FFTs of 2B + P complex multiply-accumulates of B+1 bins.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Tuple
 
 import jax

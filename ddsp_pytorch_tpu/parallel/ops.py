@@ -27,7 +27,6 @@ shard_map for you.  Used by parallel/longform.py and the multichip dry run.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Sequence
 

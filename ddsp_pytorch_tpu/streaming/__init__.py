@@ -15,7 +15,6 @@ SURVEY.md §4 item 5).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import flax
