@@ -199,6 +199,11 @@ def extract_pitch(
     len(signal)//block_size).
     """
     signal = jnp.asarray(signal, jnp.float32)
+    if signal.ndim != 1:
+        raise ValueError(
+            f"extract_pitch expects a mono (T,) signal, got {signal.shape}; "
+            "vmap/loop over batch items (data/preprocess.py does)"
+        )
     f0 = _track(
         signal,
         int(sample_rate),

@@ -33,6 +33,8 @@ def main():
     from ddsp_pytorch_tpu.utils import load_wav, save_wav
     from os import path
 
+    if not path.exists(path.join(args.bundle, "config.yaml")):
+        p.error(f"not an exported bundle (no config.yaml): {args.bundle}")
     config = Config.from_yaml(path.join(args.bundle, "config.yaml"))
     sr = config.preprocess.sample_rate
     audio, _ = load_wav(args.input, sr)
