@@ -14,9 +14,10 @@ Wire protocol (little-endian):
   response: server → client: uint32 n, n float32 audio
   n == 0 from the client closes the session.
 
-One thread per connection; each connection gets its own StreamState, all
-sharing the one compiled step function (the model dispatch is ~0.5 ms, so a
-single chip serves hundreds of realtime voices — BASELINE.md).
+One thread per connection; each connection holds its own StreamState and
+session counter, all sharing ONE compiled step function (one XLA compile
+per server, not per connection; the model dispatch is ~0.5 ms, so a single
+chip serves hundreds of realtime voices — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -62,24 +63,26 @@ class StreamServer:
         self._threads = []
         self._lock = threading.Lock()  # serialize device dispatch
 
-    # ------------------------------------------------------------ session
-    def _make_synth(self):
+        # ONE compiled step shared by every session (per-connection state).
         from ddsp_pytorch_tpu.streaming import StreamingSynth
 
-        return StreamingSynth(
-            self._model,
-            self._params,
-            mean_loudness=self._config.data.mean_loudness or 0.0,
-            std_loudness=self._config.data.std_loudness or 1.0,
+        self._synth = StreamingSynth(
+            model,
+            params,
+            mean_loudness=config.data.mean_loudness or 0.0,
+            std_loudness=config.data.std_loudness or 1.0,
             batch=1,
         )
+        self._session_seed = 0
 
+    # ------------------------------------------------------------ session
     def _serve_conn(self, conn: socket.socket) -> None:
         try:
             conn.sendall(
                 MAGIC + struct.pack("<II", self.sample_rate, self.block_size)
             )
-            synth = self._make_synth()
+            with self._lock:
+                state = self._synth.fresh_state(seed=0)
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
                 if head is None:
@@ -95,10 +98,11 @@ class StreamServer:
                     return
                 data = np.frombuffer(payload, np.float32)
                 pitch, loud = data[:n], data[n:]
+                f0 = pitch[None, :: self.block_size, None]
+                ld = loud[None, :: self.block_size, None]
                 with self._lock:
-                    audio = np.asarray(
-                        synth.step_samples(pitch[None, :], loud[None, :])
-                    )[0]
+                    audio_dev, state = self._synth.step_stateless(state, f0, ld)
+                audio = np.asarray(audio_dev)[0]
                 conn.sendall(struct.pack("<I", n) + audio.astype(np.float32).tobytes())
         finally:
             conn.close()

@@ -143,6 +143,21 @@ class StreamingSynth:
     def reset(self, seed: int = 0) -> None:
         self.state = self._fresh_state(self._batch, seed)
 
+    def fresh_state(self, seed: int = 0) -> StreamState:
+        """A new independent stream state (for multi-session hosts that
+        share this instance's compiled step — e.g. serve.py)."""
+        return self._fresh_state(self._batch, seed)
+
+    def step_stateless(self, state: StreamState, f0_frames, loudness_frames):
+        """Pure step: (state, controls) → (audio, new_state).  Shares the
+        compiled function across arbitrarily many concurrent sessions."""
+        return self._step(
+            self.params,
+            state,
+            jnp.asarray(f0_frames, jnp.float32),
+            jnp.asarray(loudness_frames, jnp.float32),
+        )
+
     def step(self, f0_frames, loudness_frames) -> np.ndarray:
         """Frame-rate controls (B, F, 1) → (B, F*block_size) audio."""
         audio, self.state = self._step(
