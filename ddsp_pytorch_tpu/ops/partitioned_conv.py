@@ -54,19 +54,6 @@ def init_state(pir: PartitionedIR, batch_shape: Tuple[int, ...] = ()) -> ConvSta
     )
 
 
-def _step_block(pir: PartitionedIR, state: ConvState, x: jax.Array):
-    """One B-sample block: (..., B) → (..., B) output + new state."""
-    b = pir.block
-    buf = jnp.concatenate([state.prev, x], axis=-1)  # (..., 2B)
-    x_spec = jnp.fft.rfft(buf, axis=-1)  # (..., B+1)
-    x_hist = jnp.concatenate(
-        [x_spec[..., None, :], state.x_hist[..., :-1, :]], axis=-2
-    )
-    acc = jnp.sum(pir.spectra * x_hist, axis=-2)  # (..., B+1)
-    y = jnp.fft.irfft(acc, 2 * b, axis=-1)[..., b:]  # overlap-save keep
-    return y, ConvState(x_hist=x_hist, prev=x)
-
-
 def streaming_convolve(
     pir: PartitionedIR, state: ConvState, x: jax.Array
 ):
@@ -74,18 +61,42 @@ def streaming_convolve(
 
     Equivalent to the causal linear convolution y[t] = Σ_{τ≤t} ir[τ]·x[t−τ]
     continued across calls.
+
+    All k blocks of the chunk are processed at once (batched FFTs + one
+    windowed complex reduction over the partition axis) — no sequential
+    scan, so per-call device work is a handful of fused ops regardless of k
+    (a lax.scan here is dispatch-bound: P tiny MACs per step).
     """
+    import numpy as np
+
     b = pir.block
     n = x.shape[-1]
     assert n % b == 0, f"chunk {n} must be a multiple of partition block {b}"
     k = n // b
+    p = pir.spectra.shape[0]
     batch_shape = x.shape[:-1]
-    blocks = jnp.moveaxis(x.reshape(batch_shape + (k, b)), -2, 0)  # (k, ..., B)
+    blocks = x.reshape(batch_shape + (k, b))  # (..., k, B)
 
-    def scan_fn(st, xb):
-        y, st = _step_block(pir, st, xb)
-        return st, y
+    # 2B overlap-save buffers per block: [x_{t-1}; x_t]
+    prev_blocks = jnp.concatenate(
+        [state.prev[..., None, :], blocks[..., :-1, :]], axis=-2
+    )
+    bufs = jnp.concatenate([prev_blocks, blocks], axis=-1)  # (..., k, 2B)
+    x_spec = jnp.fft.rfft(bufs, axis=-1)  # (..., k, B+1)
 
-    state, ys = jax.lax.scan(scan_fn, state, blocks)
-    y = jnp.moveaxis(ys, 0, -2).reshape(batch_shape + (n,))
-    return y, state
+    # Time-ordered spectra: P-1 newest history entries (oldest first), then
+    # this chunk.  state.x_hist is newest-first.
+    hist_old_first = state.x_hist[..., ::-1, :]  # (..., P, bins) oldest first
+    x_all = jnp.concatenate(
+        [hist_old_first[..., 1:, :], x_spec], axis=-2
+    )  # (..., P-1+k, bins)
+
+    # X_{t-p} = x_all[P-1 + t - p]  for t in [0,k), p in [0,P)
+    idx = (p - 1) + np.arange(k)[:, None] - np.arange(p)[None, :]  # (k, P)
+    windows = x_all[..., idx, :]  # (..., k, P, bins)
+    y_spec = jnp.sum(pir.spectra * windows, axis=-2)  # (..., k, bins)
+    y = jnp.fft.irfft(y_spec, 2 * b, axis=-1)[..., b:]  # (..., k, B)
+
+    new_hist = x_all[..., ::-1, :][..., :p, :]  # newest-first last P spectra
+    new_state = ConvState(x_hist=new_hist, prev=blocks[..., -1, :])
+    return y.reshape(batch_shape + (n,)), new_state

@@ -97,7 +97,11 @@ class StreamingSynth:
 
         self.state = self._fresh_state(batch, seed)
 
-        def step_fn(params, state: StreamState, f0, loudness):
+        # NOTE: the reverb spectra are passed as an *argument*, not closed
+        # over — a closure constant would be embedded into the executable,
+        # which forces a device→host pull of the complex64 array at trace
+        # time (unimplemented on some TPU transports).
+        def step_fn(params, state: StreamState, f0, loudness, ir_spectra):
             loudness = (loudness - self.mean_loudness) / self.std_loudness
             rng, noise_rng = jax.random.split(state.rng)
             b, f = f0.shape[0], f0.shape[1]
@@ -118,17 +122,26 @@ class StreamingSynth:
                 method=model.streaming_step,
             )
             reverb_state = state.reverb
-            if self._pir is not None:
+            if ir_spectra is not None:
                 from ddsp_pytorch_tpu.ops import partitioned_conv as pconv
 
+                pir = pconv.PartitionedIR(
+                    spectra=ir_spectra, block=self.block_size
+                )
                 audio, reverb_state = pconv.streaming_convolve(
-                    self._pir, reverb_state, audio
+                    pir, reverb_state, audio
                 )
             return audio, StreamState(
                 gru=gru, phase=phase, rng=rng, reverb=reverb_state
             )
 
-        self._step = jax.jit(step_fn, donate_argnums=(1,))
+        self._step_raw = jax.jit(step_fn, donate_argnums=(1,))
+
+        def _step(params, state, f0, loudness):
+            spectra = self._pir.spectra if self._pir is not None else None
+            return self._step_raw(params, state, f0, loudness, spectra)
+
+        self._step = _step
 
     def _fresh_state(self, batch: int, seed: int) -> StreamState:
         reverb_state = None
