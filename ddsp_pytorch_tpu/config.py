@@ -50,9 +50,13 @@ class PreprocessConfig:
     n_mels: int = 128
     loudness_n_fft: int = 2048
     # Pitch tracker configuration (the reference shells out to CREPE,
-    # core.py:100-119; we ship a JAX YIN+Viterbi tracker, ops/pitch.py).
+    # core.py:100-119; we ship a JAX YIN+Viterbi tracker, ops/pitch.py, and
+    # a from-scratch-trainable CREPE-architecture convnet, models/crepe.py).
     pitch_fmin: float = 50.0
     pitch_fmax: float = 2000.0
+    pitch_tracker: str = "yin"  # "yin" | "crepe"
+    crepe_params: Optional[str] = None  # scripts/train_crepe.py bundle
+    crepe_capacity: str = "tiny"
 
 
 @dataclass
@@ -101,6 +105,13 @@ class TrainConfig:
     # (SURVEY.md §2.8.6); here it is wired in when lr_stop is set.
     lr_stop: Optional[float] = None
     lr_decay_steps: Optional[int] = None
+    # Optimizer steps executed per device dispatch: N batches are stacked
+    # into one super-batch and lax.scan runs N train steps in a single
+    # compiled call.  At the reference workload the per-step wall clock is
+    # dispatch-bound (BASELINE.md ablation), so N > 1 amortizes the host
+    # round-trip; results are bit-identical to N single steps (the scan body
+    # IS the single-step function).  1 = reference behavior.
+    steps_per_call: int = 1
 
 
 @dataclass

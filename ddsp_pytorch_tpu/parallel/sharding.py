@@ -47,6 +47,35 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     )
 
 
+def superbatch_sharded(mesh: Mesh) -> NamedSharding:
+    """Stacked multi-step batches: (n_steps, batch, ...) — axis 1 over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def shard_superbatch(batch: Any, mesh: Mesh) -> Any:
+    """Place a stacked (n_steps, batch, ...) super-batch, axis 1 over 'data'."""
+    sharding = superbatch_sharded(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
+def shard_train_multi_step(multi_step: Callable, mesh: Mesh) -> Callable:
+    """pjit the scanned multi-step: state replicated+donated, super-batch
+    data-sharded on axis 1; metrics (stacked per-substep scalars) replicated."""
+    return jax.jit(
+        multi_step,
+        in_shardings=(replicated(mesh), superbatch_sharded(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+        donate_argnums=(0,),
+    )
+
+
 def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     """pjit the train step: state replicated+donated, batch data-sharded."""
     return jax.jit(

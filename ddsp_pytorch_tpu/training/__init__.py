@@ -8,5 +8,6 @@ from ddsp_pytorch_tpu.training.state import TrainState, create_train_state  # no
 from ddsp_pytorch_tpu.training.train import (  # noqa: F401
     Trainer,
     make_train_step,
+    make_train_multi_step,
     make_eval_step,
 )

@@ -106,6 +106,27 @@ def make_train_step(
     return train_step
 
 
+def make_train_multi_step(train_step: Callable, n_steps: int) -> Callable:
+    """Run `n_steps` optimizer steps in ONE compiled call via lax.scan.
+
+    `batches` is the per-step batch pytree with an extra leading axis of
+    length n_steps (e.g. sig (n, B, T)).  The scan body is exactly the
+    single-step function, so the result is bit-identical to n_steps
+    sequential calls; metrics come back stacked with shape (n_steps,).
+
+    Why: at the reference workload one train step is ~0.5 ms of device time
+    but each dispatch costs a host round-trip (BASELINE.md ablation — the
+    step is dispatch-bound, the chip ~50x underutilized at batch 16).  One
+    dispatch per n steps removes that wall.  No reference analogue (its loop
+    is one eager step per Python iteration, train.py:122-146).
+    """
+
+    def multi_step(state: TrainState, batches):
+        return jax.lax.scan(train_step, state, batches)
+
+    return multi_step
+
+
 def make_eval_step(model, config: Config) -> Callable:
     """Forward + loss + full output dict (for validation and reports)."""
     scales = tuple(config.train.scales)
@@ -163,13 +184,32 @@ class Trainer:
 
         train_step = make_train_step(self.model, self.tx, config)
         eval_step = make_eval_step(self.model, config)
+        self._spc = max(1, config.train.steps_per_call)
         if mesh is not None:
-            from ddsp_pytorch_tpu.parallel.sharding import shard_train_step
+            from ddsp_pytorch_tpu.parallel.sharding import (
+                shard_train_multi_step,
+                shard_train_step,
+            )
 
             self._train_step = shard_train_step(train_step, mesh)
+            self._multi_step = (
+                shard_train_multi_step(
+                    make_train_multi_step(train_step, self._spc), mesh
+                )
+                if self._spc > 1
+                else None
+            )
             self._eval_step = jax.jit(eval_step)
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._multi_step = (
+                jax.jit(
+                    make_train_multi_step(train_step, self._spc),
+                    donate_argnums=(0,),
+                )
+                if self._spc > 1
+                else None
+            )
             self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------ state
@@ -203,6 +243,17 @@ class Trainer:
 
             batch = shard_batch(batch, self.mesh)
         return batch
+
+    def stack_superbatch(self, batches):
+        """Stack per-step batches into the (n_steps, batch, ...) super-batch."""
+        multihost = self.mesh is not None and jax.process_count() > 1
+        stack = np.stack if multihost else jnp.stack
+        stacked = jax.tree.map(lambda *xs: stack(xs), *batches)
+        if self.mesh is not None:
+            from ddsp_pytorch_tpu.parallel.sharding import shard_superbatch
+
+            stacked = shard_superbatch(stacked, self.mesh)
+        return stacked
 
     # -------------------------------------------------------------- loops
     def fit(self, datamodule, total_steps: Optional[int] = None) -> TrainState:
@@ -271,45 +322,93 @@ class Trainer:
         # Device-side metric buffer: scalars are fetched in one device_get
         # every metrics_flush_steps instead of per step — a per-step pull
         # stalls the dispatch pipeline (config.py TrainConfig note).
-        pending = []  # list of (step, metrics-dict of device scalars)
+        # Entries are (first_step, metrics); multi-step calls buffer their
+        # stacked (steps_per_call,) metric vectors as one entry.
+        pending = []
         flush_every = max(1, cfg.train.metrics_flush_steps)
+        last_flush = step
 
         def flush_metrics():
-            nonlocal mean_loss, n_elem
+            nonlocal mean_loss, n_elem, last_flush
+            last_flush = step
             if not pending:
                 return
             fetched = jax.device_get([m for _, m in pending])
-            for (s, _), m in zip(pending, fetched):
-                loss = float(m["loss"])
-                self.metrics.add_scalar("loss", loss, s)
-                if int(m.get("update_skipped", 0)):
-                    self.metrics.add_scalar("update_skipped", 1, s)
-                n_elem += 1
-                mean_loss += (loss - mean_loss) / n_elem
+            for (s0, _), m in zip(pending, fetched):
+                losses = np.atleast_1d(np.asarray(m["loss"], np.float64))
+                skipped = np.atleast_1d(np.asarray(m.get("update_skipped", 0)))
+                for i, loss in enumerate(losses):
+                    self.metrics.add_scalar("loss", float(loss), s0 + i)
+                    if int(skipped[i]):
+                        self.metrics.add_scalar("update_skipped", 1, s0 + i)
+                    n_elem += 1
+                    mean_loss += (float(loss) - mean_loss) / n_elem
             pending.clear()
 
+        def run_single(b):
+            nonlocal state, step
+            state, metrics = self._train_step(state, self.shard_batch(b))
+            step += 1
+            pending.append((step, metrics))
+
+        def run_multi(bs):
+            nonlocal state, step
+            state, metrics = self._multi_step(state, self.stack_superbatch(bs))
+            step += self._spc
+            pending.append((step - self._spc + 1, metrics))
+
+        def housekeeping(prev_step) -> bool:
+            """Flush/checkpoint/throughput bookkeeping; True = stop now."""
+            nonlocal t_last, s_last
+            if step - last_flush >= flush_every:
+                flush_metrics()
+            if preempted["flag"]:
+                flush_metrics()
+                self.checkpointer.save(state, wait=True)
+                return True
+            every = cfg.train.checkpoint_every_steps
+            if step // every > prev_step // every:
+                self.checkpointer.save(state)
+            if step - s_last >= 100:
+                now = time.time()
+                sps = (step - s_last) / max(now - t_last, 1e-9)
+                self.metrics.add_scalar("steps_per_s", sps, step)
+                t_last, s_last = now, step
+            return step >= total_steps
+
+        buf = []  # batches awaiting a full steps_per_call super-batch
         for epoch in range(start_epoch, n_epochs):
             train_loader.set_epoch(epoch)
+            stop = False
             for batch in train_loader:
-                state, metrics = self._train_step(state, self.shard_batch(batch))
-                step += 1
-                pending.append((step, metrics))
-                if len(pending) >= flush_every:
-                    flush_metrics()
-
-                if preempted["flag"]:
-                    flush_metrics()
-                    self.checkpointer.save(state, wait=True)
-                    return state
-                if step % cfg.train.checkpoint_every_steps == 0:
-                    self.checkpointer.save(state)
-                if step % 100 == 0:
-                    now = time.time()
-                    sps = (step - s_last) / max(now - t_last, 1e-9)
-                    self.metrics.add_scalar("steps_per_s", sps, step)
-                    t_last, s_last = now, step
-                if step >= total_steps:
+                prev_step = step
+                use_multi = (
+                    self._multi_step is not None
+                    and step + self._spc <= total_steps
+                    and not preempted["flag"]
+                )
+                if use_multi:
+                    buf.append(self.shard_batch(batch))
+                    if len(buf) < self._spc:
+                        continue
+                    run_multi(buf)
+                    buf.clear()
+                else:
+                    for b in buf:  # mode switch: drain in order first
+                        run_single(b)
+                    buf.clear()
+                    run_single(batch)
+                stop = housekeeping(prev_step)
+                if stop:
                     break
+            if not stop and buf:  # epoch tail smaller than steps_per_call
+                prev_step = step
+                for b in buf:
+                    run_single(b)
+                buf.clear()
+                stop = housekeeping(prev_step)
+            if stop and preempted["flag"]:
+                return state
             flush_metrics()
 
             if epoch % cfg.train.val_interval_epochs == 0:

@@ -175,3 +175,39 @@ def test_mean_std_loudness_streaming_estimator(rng):
     # running-mean-of-batch-stats estimator ≈ global stats for iid batches
     assert abs(mean - allv.mean()) < 0.2
     assert abs(std - allv.std()) < 0.2
+
+
+@pytest.mark.slow
+def test_trainer_steps_per_call_equivalence(tmp_path):
+    """Trainer with steps_per_call=4 trains the same function as the
+    single-step loop: identical final params and a loss record for every
+    step in metrics.jsonl (the scan body IS the single-step function)."""
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cfg, dm = _tiny_setup(tmp_path, steps=14)  # 14 = 3×4 + 2 single tail
+
+    def run(name, spc):
+        c = Config.from_dict(cfg.to_dict())
+        c.train.steps_per_call = spc
+        run_dir = os.path.join(tmp_path, name)
+        trainer = Trainer(c, run_dir, use_tensorboard=False)
+        try:
+            state = trainer.fit(dm)
+        finally:
+            trainer.close()
+        import json
+
+        steps_logged = []
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["tag"] == "loss":
+                    steps_logged.append(rec["step"])
+        return jax.device_get(state.params), steps_logged
+
+    params_1, steps_1 = run("spc1", 1)
+    params_4, steps_4 = run("spc4", 4)
+
+    assert steps_1 == steps_4 == list(range(1, 15))
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_4)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -177,3 +177,70 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     finally:
         trainer2.close()
     assert int(state2.step) >= 40
+
+
+def test_multi_step_scan_matches_sequential_steps(rng):
+    """make_train_multi_step(n) ≡ n sequential single steps (same rng
+    stream, same data order) — params and per-step losses must agree."""
+    from ddsp_pytorch_tpu.training import make_train_multi_step, make_train_step
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": 16000, "signal_length": 1024,
+                           "block_size": 64},
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 8,
+                    "n_harmonic": 2,
+                    "n_bands": 3,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256], "overlap": 0.75},
+        }
+    )
+    model = load_model(cfg)
+    f = cfg.n_frames
+    n, b = 4, 2
+    batches = [
+        {
+            "sig": jnp.asarray(rng.standard_normal((b, 1024)).astype(np.float32)),
+            "pitch": jnp.asarray(
+                rng.uniform(100, 300, (b, f, 1)).astype(np.float32)
+            ),
+            "loudness": jnp.asarray(
+                rng.standard_normal((b, f, 1)).astype(np.float32)
+            ),
+        }
+        for _ in range(n)
+    ]
+    tx = make_optimizer(cfg)
+    state0 = create_train_state(model, batches[0], tx)
+    train_step = make_train_step(model, tx, cfg)
+
+    # sequential reference
+    single = jax.jit(train_step)
+    state_seq = state0
+    losses_seq = []
+    for batch in batches:
+        state_seq, m = single(state_seq, batch)
+        losses_seq.append(float(m["loss"]))
+
+    # one scanned dispatch
+    multi = jax.jit(make_train_multi_step(train_step, n))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    state_multi, metrics = multi(state0, stacked)
+
+    assert int(state_multi.step) == n
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_seq), rtol=1e-5
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(jax.device_get(state_seq.params)),
+        jax.tree.leaves(jax.device_get(state_multi.params)),
+    ):
+        np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-6)

@@ -21,6 +21,13 @@ def main():
     p.add_argument("--steps", type=int, default=None, help="override train.steps")
     p.add_argument("--batch", type=int, default=None, help="override train.batch")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument(
+        "--steps-per-call",
+        type=int,
+        default=None,
+        help="optimizer steps per device dispatch (lax.scan over stacked "
+        "batches; amortizes the dispatch-bound step — see BASELINE.md)",
+    )
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-time", type=int, default=1)
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
@@ -70,6 +77,8 @@ def main():
         config.train.batch = args.batch
     if args.lr is not None:
         config.train.lr = args.lr
+    if args.steps_per_call is not None:
+        config.train.steps_per_call = args.steps_per_call
 
     mesh = None
     if not args.no_mesh:
