@@ -47,10 +47,16 @@ def preprocess(
     mfcc_fmax: float = 8000.0,
     n_mels: int = 128,
     loudness_n_fft: int = 2048,
+    pitch_fn=None,
     **_unused,
 ):
     """One file → (signals (N, L), pitch (N, F), loudness (N, F),
-    mfcc (N, F+1, n_mfcc)) chunk rows."""
+    mfcc (N, F+1, n_mfcc)) chunk rows.
+
+    pitch_fn: optional (row, sample_rate, block_size) → (F,) f0 override
+    (e.g. the trained CREPE-architecture tracker, models/crepe.py); default
+    is the YIN+Viterbi tracker.
+    """
     x, _ = load_wav(str(f), sample_rate)
     pad = (signal_length - len(x) % signal_length) % signal_length
     x = np.pad(x, (0, pad))
@@ -60,15 +66,12 @@ def preprocess(
     chunks = x.reshape(-1, signal_length)
     xj = jnp.asarray(chunks)
 
+    if pitch_fn is None:
+        pitch_fn = lambda row, sr, bs: extract_pitch(  # noqa: E731
+            row, sr, bs, fmin=pitch_fmin, fmax=pitch_fmax
+        )
     pitch = np.stack(
-        [
-            np.asarray(
-                extract_pitch(
-                    row, sample_rate, block_size, fmin=pitch_fmin, fmax=pitch_fmax
-                )
-            )
-            for row in xj
-        ]
+        [np.asarray(pitch_fn(row, sample_rate, block_size)) for row in xj]
     )
     loudness = np.asarray(
         extract_loudness(xj, sample_rate, block_size, loudness_n_fft)
@@ -93,6 +96,39 @@ def preprocess(
     )
 
 
+def make_pitch_fn(config: Config):
+    """Pitch-tracker factory from config.preprocess.pitch_tracker.
+
+    "yin" (default) → None (preprocess uses ops/pitch.py);
+    "crepe" → the trained CREPE-architecture model (models/crepe.py), loaded
+    from preprocess.crepe_params (saved by scripts/train_crepe.py).
+    """
+    pc = config.preprocess
+    tracker = getattr(pc, "pitch_tracker", "yin")
+    if tracker == "yin":
+        return None
+    if tracker != "crepe":
+        raise ValueError(f"unknown pitch_tracker: {tracker!r} (yin|crepe)")
+    if not pc.crepe_params:
+        raise ValueError(
+            "pitch_tracker: crepe needs preprocess.crepe_params "
+            "(train one with scripts/train_crepe.py)"
+        )
+    from flax import serialization
+
+    from ddsp_pytorch_tpu.models.crepe import extract_pitch_crepe
+
+    with open(pc.crepe_params, "rb") as fh:
+        bundle = serialization.msgpack_restore(bytearray(fh.read()))
+
+    def pitch_fn(row, sample_rate, block_size):
+        return extract_pitch_crepe(
+            row, sample_rate, block_size, bundle, capacity=pc.crepe_capacity
+        )
+
+    return pitch_fn
+
+
 def preprocess_folder(root_dir, partition: str, config: Config) -> None:
     """Process every file under root_dir/partition into the .npy cache."""
     root_dir = pathlib.Path(root_dir)
@@ -101,6 +137,7 @@ def preprocess_folder(root_dir, partition: str, config: Config) -> None:
     files = get_files(src, config.data.extension)
 
     pc = config.preprocess
+    pitch_fn = make_pitch_fn(config)
     signals, pitchs, loudness, mfccs = [], [], [], []
     for i, f in enumerate(files):
         print(f"[{i + 1}/{len(files)}] {f}")
@@ -118,6 +155,7 @@ def preprocess_folder(root_dir, partition: str, config: Config) -> None:
             mfcc_fmax=pc.mfcc_fmax,
             n_mels=pc.n_mels,
             loudness_n_fft=pc.loudness_n_fft,
+            pitch_fn=pitch_fn,
         )
         signals.append(x)
         pitchs.append(p)

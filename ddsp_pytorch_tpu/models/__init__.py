@@ -14,6 +14,7 @@ from ddsp_pytorch_tpu.models.modules import (  # noqa: F401
 )
 from ddsp_pytorch_tpu.models.decoder import GRUDecoder, DDSPDecoder  # noqa: F401
 from ddsp_pytorch_tpu.models.encoder import MFCCEncoder, DDSPAutoencoder  # noqa: F401
+from ddsp_pytorch_tpu.models.crepe import CREPE, extract_pitch_crepe  # noqa: F401
 
 MODEL_REGISTRY = {
     "single-inst-decoder": DDSPDecoder,

@@ -1,0 +1,237 @@
+"""CREPE-architecture neural pitch tracker (JAX/flax).
+
+Role parity: the reference's primary pitch path shells out to the CREPE
+TensorFlow model (ddsp/core.py:100-119: 16 kHz frames, step_size = one block
+in ms, ``viterbi=True``, center padding, drop-last + re-interpolation to
+``len(signal)//block_size`` frames).  This framework ships two trackers:
+
+* ops/pitch.py — a classical YIN+Viterbi estimator (no learned weights), the
+  default for preprocessing;
+* this module — the CREPE convnet *architecture* (Kim et al. 2018) as a flax
+  module, trained from scratch on synthesized audio with known f0
+  (scripts/train_crepe.py) — fully self-contained, no TensorFlow and no
+  downloaded weights, and it runs batched on TPU.
+
+The decode path matches CREPE's: 360 sigmoid salience bins spaced 20 cents
+from C1 (32.70 Hz), local weighted-average refinement around the peak, and
+optional Viterbi smoothing over the salience map (the reference always passes
+viterbi=True).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MODEL_SRATE = 16000  # CREPE operates on 16 kHz frames
+FRAME_LENGTH = 1024  # 64 ms input window
+N_BINS = 360
+CENTS_PER_BIN = 20.0
+# Bin 0 = 32.70 Hz (C1) on the cents-above-10Hz scale CREPE uses.
+CENTS_OFFSET = 1200.0 * math.log2(32.70319566257483 / 10.0)
+
+# capacity multiplier → per-layer filter counts × [32, 4, 4, 4, 8, 16]
+CAPACITIES = {"micro": 1, "tiny": 4, "small": 8, "medium": 16, "large": 24,
+              "full": 32}
+_BASE_FILTERS = (32, 4, 4, 4, 8, 16)
+_KERNELS = (512, 64, 64, 64, 64, 64)
+_STRIDES = (4, 1, 1, 1, 1, 1)
+
+
+def cents_grid() -> np.ndarray:
+    """(360,) center of each salience bin, in cents above 10 Hz."""
+    return CENTS_OFFSET + CENTS_PER_BIN * np.arange(N_BINS)
+
+
+def cents_to_hz(cents: jax.Array) -> jax.Array:
+    return 10.0 * 2.0 ** (cents / 1200.0)
+
+
+def hz_to_cents(f0: jax.Array) -> jax.Array:
+    return 1200.0 * jnp.log2(jnp.maximum(f0, 1e-6) / 10.0)
+
+
+class CREPE(nn.Module):
+    """(B, 1024) audio frames → (B, 360) pitch-salience logits.
+
+    Six conv blocks (conv → ReLU → BatchNorm → maxpool → dropout) and a
+    dense head, per the CREPE paper; `capacity` scales every layer's filter
+    count.  Call with ``train=True`` (and rngs={'dropout': ...}, mutable
+    ['batch_stats']) during training.  Returns *logits*; apply sigmoid for
+    salience.
+    """
+
+    capacity: str = "tiny"
+    dropout: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jax.Array, train: bool = False) -> jax.Array:
+        mult = CAPACITIES[self.capacity]
+        # per-frame normalization, as in CREPE's preprocessing
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        std = jnp.std(frames, axis=-1, keepdims=True)
+        x = ((frames - mean) / jnp.maximum(std, 1e-6))[..., None]  # (B, T, 1)
+        x = x.astype(self.dtype)
+        for i, (base, kernel, stride) in enumerate(
+            zip(_BASE_FILTERS, _KERNELS, _STRIDES)
+        ):
+            x = nn.Conv(
+                base * mult,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                padding="SAME",
+                dtype=self.dtype,
+                name=f"conv{i + 1}",
+            )(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                dtype=self.dtype,
+                name=f"bn{i + 1}",
+            )(x)
+            x = nn.max_pool(x, window_shape=(2,), strides=(2,))
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = x.reshape(x.shape[0], -1)  # (B, 4 · 16·mult)
+        logits = nn.Dense(N_BINS, dtype=self.dtype, name="classifier")(x)
+        return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- decoding
+
+
+def salience_to_cents(salience: jax.Array, window: int = 4) -> jax.Array:
+    """(…, 360) salience → (…,) cents via CREPE's local weighted average.
+
+    The average runs over ±`window` bins around the argmax (CREPE's
+    to_local_average_cents).
+    """
+    grid = jnp.asarray(cents_grid(), jnp.float32)
+    peak = jnp.argmax(salience, axis=-1)
+    idx = peak[..., None] + jnp.arange(-window, window + 1)
+    idx = jnp.clip(idx, 0, N_BINS - 1)
+    w = jnp.take_along_axis(salience, idx, axis=-1)
+    # clipped duplicate edge bins get zero weight (counted once)
+    valid = (peak[..., None] + jnp.arange(-window, window + 1) == idx)
+    w = jnp.where(valid, w, 0.0)
+    return jnp.sum(w * grid[idx], axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1e-9
+    )
+
+
+def viterbi_cents(salience: jax.Array, switch_per_octave: float = 3.0):
+    """(F, 360) salience → (F,) cents with Viterbi-smoothed peak selection.
+
+    Same smoothing role as CREPE's viterbi=True (the reference always
+    enables it, core.py:108): emission cost −log p with a per-octave jump
+    penalty, then the local weighted average re-centred on the chosen path.
+    """
+    from ddsp_pytorch_tpu.ops.pitch import _viterbi
+
+    emis = -jnp.log(jnp.clip(salience, 1e-6, 1.0))
+    bins_per_octave = 1200.0 / CENTS_PER_BIN
+    dist_oct = (
+        np.abs(np.arange(N_BINS)[:, None] - np.arange(N_BINS)[None, :])
+        / bins_per_octave
+    )
+    switch = jnp.asarray((switch_per_octave * dist_oct).astype(np.float32))
+    path = _viterbi(emis, switch)
+    # local average around the *path* bin instead of the raw argmax
+    onehotish = jnp.where(
+        jnp.abs(jnp.arange(N_BINS)[None, :] - path[:, None]) <= 4,
+        salience,
+        0.0,
+    )
+    return salience_to_cents(onehotish)
+
+
+# ------------------------------------------------------- full extract path
+
+
+@functools.lru_cache(maxsize=None)
+def _resample_kernel(up: int, down: int, taps_per_phase: int = 32) -> np.ndarray:
+    """Windowed-sinc anti-alias/interpolation FIR for rational resampling."""
+    cutoff = 1.0 / max(up, down)  # in units of the upsampled Nyquist
+    half = taps_per_phase * max(up, down) // 2
+    n = np.arange(-half, half + 1)
+    kernel = cutoff * np.sinc(cutoff * n) * np.hanning(2 * half + 1)
+    return (kernel * up).astype(np.float32)
+
+
+def resample_to_model_rate(signal: jax.Array, sample_rate: int) -> jax.Array:
+    """(T,) at sample_rate → (T·16000/sr,) at 16 kHz (polyphase sinc)."""
+    if sample_rate == MODEL_SRATE:
+        return signal
+    g = math.gcd(int(sample_rate), MODEL_SRATE)
+    up, down = MODEL_SRATE // g, sample_rate // g
+    kernel = jnp.asarray(_resample_kernel(up, down))
+    t = signal.shape[-1]
+    if up > 1:
+        stuffed = jnp.zeros((t, up), signal.dtype).at[:, 0].set(signal)
+        x = stuffed.reshape(-1)
+    else:
+        x = signal
+    pad = kernel.shape[0] // 2
+    x = jnp.pad(x, (pad, pad))
+    y = jnp.convolve(x, kernel, mode="valid")
+    return y[::down]
+
+
+def extract_pitch_crepe(
+    signal,
+    sample_rate: int,
+    block_size: int,
+    params,
+    capacity: str = "tiny",
+    viterbi: bool = True,
+    batch_frames: int = 512,
+):
+    """Frame-rate f0 in Hz via the trained CREPE-architecture model.
+
+    Same length contract as ops.pitch.extract_pitch and the reference
+    (core.py:100-119): (T,) → (T // block_size,), with the model run at
+    16 kHz on an integer hop and the track re-interpolated to the block
+    grid — exactly the reference's np.interp step (core.py:113-118).
+
+    `params` is the dict saved by scripts/train_crepe.py
+    ({'params': ..., 'batch_stats': ...}).
+    """
+    signal = jnp.asarray(signal, jnp.float32)
+    if signal.ndim != 1:
+        raise ValueError(f"expects a mono (T,) signal, got {signal.shape}")
+    n_out = int(signal.shape[-1]) // int(block_size)
+
+    x16 = resample_to_model_rate(signal, int(sample_rate))
+    hop = max(1, int(MODEL_SRATE * block_size / sample_rate))
+    pad = FRAME_LENGTH // 2
+    padded = jnp.pad(x16, (pad, pad))
+    n_frames = 1 + int(x16.shape[-1]) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(FRAME_LENGTH)[None, :]
+    frames = padded[idx]
+
+    model = CREPE(capacity=capacity)
+    variables = {"params": params["params"]}
+    if "batch_stats" in params:
+        variables["batch_stats"] = params["batch_stats"]
+    apply = jax.jit(lambda f: nn.sigmoid(model.apply(variables, f)))
+
+    saliences = []
+    for start in range(0, n_frames, batch_frames):
+        saliences.append(apply(frames[start : start + batch_frames]))
+    salience = jnp.concatenate(saliences, axis=0)
+
+    cents = (
+        viterbi_cents(salience) if viterbi else salience_to_cents(salience)
+    )
+    f0 = cents_to_hz(cents)
+    # re-interpolate the 16 kHz-hop track onto the block grid
+    src_t = np.arange(f0.shape[0]) * hop / MODEL_SRATE
+    dst_t = np.arange(n_out) * block_size / sample_rate
+    return jnp.interp(jnp.asarray(dst_t, jnp.float32),
+                      jnp.asarray(src_t, jnp.float32), f0)
