@@ -210,3 +210,24 @@ def test_nsynth_split(tmp_path):
     counts = create_inst_view(tmp_path, tmp_path / "view", "violin")
     assert counts == {"train": 1}
     assert (tmp_path / "view" / "train" / "violin" / "violin_A_001.wav").exists()
+
+
+def test_instrument_presets(tmp_path):
+    """Instrument presets render finite, bounded, f32 notes with vibrato
+    (pitch varies) and a normalized harmonic recipe (synthetic pretrained
+    corpus — reference ships pretrained sax/violin, README.md:46-49)."""
+    from ddsp_pytorch_tpu.data.synthetic import INSTRUMENTS
+
+    assert set(INSTRUMENTS) >= {"tone", "violin", "sax", "flute"}
+    out = make_synthetic_dataset(
+        str(tmp_path), n_items=2, sample_rate=16000, signal_length=8192,
+        block_size=256, n_harmonic=12, instrument="sax", seed=11,
+        partitions=("train",),
+    )
+    sig, pitch = out["signals"], out["pitchs"]
+    assert sig.dtype == np.float32 and pitch.dtype == np.float32
+    assert np.all(np.isfinite(sig)) and np.abs(sig).max() < 1.5
+    lo, hi = INSTRUMENTS["sax"]["f0"]
+    assert pitch.min() > lo * 0.9 and pitch.max() < hi * 1.1
+    # vibrato: every note's pitch track actually moves
+    assert (pitch.max(axis=1) - pitch.min(axis=1)).min() > 0.1
