@@ -61,12 +61,17 @@ def export_run(
     from ddsp_pytorch_tpu.training.state import create_train_state
 
     ckptr = Checkpointer(run_dir)
-    # Best-params artifact if present, else latest full checkpoint.
+    # Best-params artifact if present, else latest full checkpoint.  The
+    # restore skeleton is built abstractly (jax.eval_shape): no real
+    # parameter init or optimizer-state allocation just to learn the
+    # pytree structure.
     sample = _dummy_batch(config)
     tx = make_optimizer(config)
-    abstract = create_train_state(model, sample, tx, seed=config.train.seed)
+    abstract = jax.eval_shape(
+        lambda: create_train_state(model, sample, tx, seed=config.train.seed)
+    )
     if ckptr.best_meta() is not None:
-        params = ckptr.restore_best(jax.device_get(abstract.params))
+        params = ckptr.restore_best(abstract.params)
     else:
         state = ckptr.restore(abstract)
         if state is None:

@@ -183,6 +183,20 @@ def resample_to_model_rate(signal: jax.Array, sample_rate: int) -> jax.Array:
     return y[::down]
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_salience(capacity: str):
+    """One compiled CREPE forward per capacity, shared across all
+    extract_pitch_crepe calls (a per-call jit(lambda) never hits jit's
+    function-identity cache and recompiles for every chunk)."""
+    model = CREPE(capacity=capacity)
+
+    @jax.jit
+    def apply(variables, frames):
+        return nn.sigmoid(model.apply(variables, frames))
+
+    return apply
+
+
 def extract_pitch_crepe(
     signal,
     sample_rate: int,
@@ -215,15 +229,21 @@ def extract_pitch_crepe(
     idx = np.arange(n_frames)[:, None] * hop + np.arange(FRAME_LENGTH)[None, :]
     frames = padded[idx]
 
-    model = CREPE(capacity=capacity)
     variables = {"params": params["params"]}
     if "batch_stats" in params:
         variables["batch_stats"] = params["batch_stats"]
-    apply = jax.jit(lambda f: nn.sigmoid(model.apply(variables, f)))
+    apply = _jitted_salience(capacity)
 
+    # fixed (batch_frames, FRAME_LENGTH) chunks (last one padded): one
+    # compile per capacity for the whole preprocessing run, not one retrace
+    # per chunk row / per leftover size
     saliences = []
     for start in range(0, n_frames, batch_frames):
-        saliences.append(apply(frames[start : start + batch_frames]))
+        chunk = frames[start : start + batch_frames]
+        n_chunk = chunk.shape[0]
+        if n_chunk < batch_frames:
+            chunk = jnp.pad(chunk, ((0, batch_frames - n_chunk), (0, 0)))
+        saliences.append(apply(variables, chunk)[:n_chunk])
     salience = jnp.concatenate(saliences, axis=0)
 
     cents = (

@@ -170,8 +170,11 @@ def _track(
     fidx = jnp.arange(emis.shape[0])
     em, e0, ep = emis[fidx, pm], emis[fidx, path], emis[fidx, pp]
     denom = em - 2.0 * e0 + ep
+    # refine only where the path bin is a local minimum (positive
+    # curvature); when the Viterbi switch penalty holds the path off the
+    # emission minimum, denom ≤ 0 and the parabola has no interior vertex
     delta = jnp.where(
-        jnp.abs(denom) > 1e-12, 0.5 * (em - ep) / jnp.maximum(denom, 1e-12), 0.0
+        denom > 1e-12, 0.5 * (em - ep) / jnp.maximum(denom, 1e-12), 0.0
     )
     delta = jnp.clip(delta, -0.5, 0.5)
     # no refinement at grid edges (clipped neighbors repeat the same bin)

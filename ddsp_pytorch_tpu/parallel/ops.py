@@ -36,7 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ddsp_pytorch_tpu.ops.oscillator import harmonic_synth_frames
-from ddsp_pytorch_tpu.ops.spectral import hann_window
+from ddsp_pytorch_tpu.ops.spectral import frame_signal, hann_window
 
 try:  # JAX ≥ 0.6 exposes shard_map at the top level
     shard_map = jax.shard_map
@@ -173,11 +173,6 @@ def _halo_exchange(x_local: jax.Array, pad: int, axis: str) -> jax.Array:
     return jnp.concatenate([from_left, x_local, from_right], axis=-1)
 
 
-def _local_frames(ext: jax.Array, n_fft: int, hop: int, n_loc: int) -> jax.Array:
-    idx = np.arange(n_loc)[:, None] * hop + np.arange(n_fft)[None, :]
-    return ext[:, idx]
-
-
 def sharded_scale_mags(
     x_local: jax.Array, n_fft: int, hop: int, axis: str = "time"
 ) -> tuple:
@@ -195,14 +190,16 @@ def sharded_scale_mags(
             f"time-shard chunk ({c}) must be a multiple of the STFT hop "
             f"({hop}); choose a shard count dividing T/hop"
         )
-    if pad > c:
+    if pad >= c:  # edge reflect needs pad ≤ C-1
         raise ValueError(
-            f"n_fft/2 ({pad}) exceeds the time-shard chunk ({c}); use fewer "
-            f"time shards or smaller FFT scales"
+            f"n_fft/2 ({pad}) must be smaller than the time-shard chunk "
+            f"({c}); use fewer time shards or smaller FFT scales"
         )
     ext = _halo_exchange(x_local, pad, axis)
     n_loc = c // hop + 1  # +1 slot: only the last shard's is globally valid
-    frames = _local_frames(ext, n_fft, hop, n_loc)
+    # frame_signal on the halo-extended chunk yields exactly n_loc frames:
+    # 1 + (c + 2*pad - n_fft)//hop = 1 + c//hop  (2*pad == n_fft)
+    frames = frame_signal(ext, n_fft, hop)
     win = hann_window(n_fft, dtype=x_local.dtype)
     spec = jnp.fft.rfft(frames * win)
     mags = jnp.abs(spec) * (1.0 / np.sqrt(n_fft))  # torch normalized=True

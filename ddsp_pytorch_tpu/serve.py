@@ -82,7 +82,12 @@ class StreamServer:
                 MAGIC + struct.pack("<II", self.sample_rate, self.block_size)
             )
             with self._lock:
-                state = self._synth.fresh_state(seed=0)
+                # distinct seed per session: concurrent streams must not
+                # share one noise-RNG stream (identical controls would
+                # otherwise produce bit-identical "random" noise audio)
+                seed = self._session_seed
+                self._session_seed += 1
+                state = self._synth.fresh_state(seed=seed)
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
                 if head is None:
@@ -116,6 +121,9 @@ class StreamServer:
                 return
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
+            # prune finished sessions so a long-lived server doesn't hold a
+            # Thread object per historical connection
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def start(self) -> None:

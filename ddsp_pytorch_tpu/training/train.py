@@ -122,6 +122,11 @@ def make_train_multi_step(train_step: Callable, n_steps: int) -> Callable:
     """
 
     def multi_step(state: TrainState, batches):
+        lead = jax.tree.leaves(batches)[0].shape[0]
+        assert lead == n_steps, (
+            f"super-batch has a leading axis of {lead}, expected "
+            f"steps_per_call={n_steps}"
+        )
         return jax.lax.scan(train_step, state, batches)
 
     return multi_step
@@ -243,6 +248,27 @@ class Trainer:
 
             batch = shard_batch(batch, self.mesh)
         return batch
+
+    def _shard_eval_batch(self, batch):
+        """Shard a batch for evaluation, tolerating a partial final batch
+        (the val loader keeps drop_last=False).  A leading axis that does
+        not divide the mesh 'data' axis is evaluated replicated instead —
+        exact, just not data-parallel.  Multi-process meshes skip such
+        batches (returns None): a consistent global assembly of unequal
+        per-process remainders is not guaranteed."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        n = len(next(iter(batch.values())))
+        if n % self.mesh.shape["data"] == 0:
+            return self.shard_batch(batch)
+        if jax.process_count() > 1:
+            return None
+        from ddsp_pytorch_tpu.parallel.sharding import replicated
+
+        return jax.device_put(
+            {k: jnp.asarray(v) for k, v in batch.items()},
+            replicated(self.mesh),
+        )
 
     def stack_superbatch(self, batches):
         """Stack per-step batches into the (n_steps, batch, ...) super-batch."""
@@ -388,7 +414,11 @@ class Trainer:
                     and not preempted["flag"]
                 )
                 if use_multi:
-                    buf.append(self.shard_batch(batch))
+                    # buffer HOST batches: stack_superbatch shards the
+                    # stacked result in one placement (stacking already-
+                    # sharded global arrays would need a host pull, which
+                    # fails outright for multi-host arrays)
+                    buf.append(batch)
                     if len(buf) < self._spc:
                         continue
                     run_multi(buf)
@@ -435,7 +465,10 @@ class Trainer:
         last_out = None
         rng = jax.random.PRNGKey(0)
         for batch in val_loader:
-            out = self._eval_step(state, self.shard_batch(batch), rng)
+            b = self._shard_eval_batch(batch)
+            if b is None:  # multi-process partial remainder (see helper)
+                continue
+            out = self._eval_step(state, b, rng)
             losses.append(float(out["loss"]))
             last_out = out
         if losses:

@@ -189,6 +189,63 @@ def test_trainer_fit_with_mesh(tmp_path, rng):
         trainer2.close()
 
 
+def test_trainer_fit_mesh_multi_step_and_partial_val(tmp_path, rng):
+    """Mesh + steps_per_call>1 (host batches buffered, super-batch sharded
+    once) and a validation set whose final batch does not divide the data
+    axis (evaluated replicated) — regression for both paths."""
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cache = str(tmp_path / "cache")
+    # 20 items: train = 2 full batches/epoch (drop_last), so the multi-step
+    # buffer fills; validation batches run 8, 8, 4 — the 4 is the partial.
+    make_synthetic_dataset(
+        cache, n_items=20, sample_rate=16000, signal_length=4096,
+        block_size=128, n_harmonic=4,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": 16000,
+                "signal_length": 4096,
+                "block_size": 128,
+                "out_dir": cache,
+            },
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 16,
+                    "n_harmonic": 4,
+                    "n_bands": 5,
+                    "sample_rate": 16000,
+                    "block_size": 128,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256], "batch": 8, "steps": 4,
+                      "steps_per_call": 2, "val_interval_epochs": 1},
+        }
+    )
+    mesh = make_mesh(data=8, time=1)
+    dm = Datamodule(cfg)
+    dm.setup()
+    trainer = Trainer(cfg, str(tmp_path / "run"), mesh=mesh,
+                      use_tensorboard=False)
+    try:
+        state = trainer.fit(dm)
+    finally:
+        trainer.close()
+    assert int(state.step) >= 4
+
+    # the partial val batch really doesn't divide the mesh: helper must
+    # fall back to the replicated placement, not raise
+    partial = {k: v[:4] for k, v in next(iter(dm.val_dataloader())).items()}
+    sharded = trainer._shard_eval_batch(partial)
+    assert sharded is not None
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip dry run must pass on the virtual mesh."""
     import importlib.util, pathlib

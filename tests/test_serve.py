@@ -34,11 +34,13 @@ def test_stream_server_roundtrip(tmp_path):
         # state carried across requests: phase continues, so blocks differ
         assert not np.allclose(a1, a2)
 
-        # a second connection gets fresh state → its first block equals the
-        # first connection's first block (same seed)
+        # a second connection gets fresh state: the oscillator phase
+        # restarts (harmonic content matches the first connection's first
+        # block) but its noise RNG stream is per-session, not shared
         client2 = StreamClient(host, port)
         b1 = client2.render(pitch, loud)
-        np.testing.assert_allclose(b1, a1, atol=1e-5)
+        np.testing.assert_allclose(b1, a1, atol=1e-2)  # fresh phase
+        assert not np.array_equal(b1, a1)  # independent noise draw
 
         # bad request size (not a block multiple) → rejected, session closed
         client3 = StreamClient(host, port)
