@@ -12,24 +12,16 @@ vs_baseline: ratio against the >100× realtime/chip target from BASELINE.md
 """
 
 import json
-import math
-import time
 
 
 BASELINE_X_REALTIME = 100.0  # BASELINE.md target: >100x realtime per chip
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from ddsp_pytorch_tpu.config import Config
-    from ddsp_pytorch_tpu.models import load_model
-    from ddsp_pytorch_tpu.streaming import StreamingSynth
+    from performance import run_benchmark
 
     sr, block = 48000, 512
-    batch = 1  # per-voice realtime factor; samples/s/chip scales with batch
     config = Config()
     config.preprocess.sample_rate = sr
     config.preprocess.block_size = block
@@ -40,35 +32,12 @@ def main():
         sample_rate=sr,
         block_size=block,
     )
-    model = load_model(config)
+    # one protocol, one implementation: the same run_benchmark the
+    # performance.py CLI uses (batch 1 → per-voice realtime factor;
+    # samples/s/chip scales with batch — BASELINE.md sweep)
+    result = run_benchmark(config=config, n_run=20, batch=1)
 
-    n = 2 ** math.ceil(math.log2(sr))
-    n = (n // block) * block
-    f = n // block
-    rng = jax.random.PRNGKey(0)
-    init_batch = {
-        "sig": jnp.zeros((batch, n), jnp.float32),
-        "pitch": jnp.full((batch, f, 1), 220.0, jnp.float32),
-        "loudness": jnp.zeros((batch, f, 1), jnp.float32),
-    }
-    params = model.init({"params": rng, "noise": rng}, init_batch)["params"]
-    synth = StreamingSynth(model, params, batch=batch)
-
-    npr = np.random.default_rng(0)
-    pitch = npr.uniform(100, 400, (batch, n)).astype(np.float32)
-    loud = npr.standard_normal((batch, n)).astype(np.float32)
-
-    jax.block_until_ready(synth.step_samples(pitch, loud))  # compile
-
-    n_run = 20
-    mean = 0.0
-    for i in range(n_run):
-        st = time.perf_counter()
-        out = synth.step_samples(pitch, loud)
-        jax.block_until_ready(out)
-        mean += (time.perf_counter() - st - mean) / (i + 1)
-
-    x_realtime = batch * n / (mean * sr)
+    x_realtime = result["x_realtime"]
     print(
         json.dumps(
             {

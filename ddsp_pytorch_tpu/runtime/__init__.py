@@ -93,11 +93,26 @@ class StreamEngine:
 
         self._render_py = render
         self.block_size = block_size
+        self._size_warned = False
 
         def _cb(pitch_p, loud_p, out_p, n, _ctx):
             pitch = np.ctypeslib.as_array(pitch_p, (n,)).copy()
             loud = np.ctypeslib.as_array(loud_p, (n,)).copy()
-            audio = np.asarray(self._render_py(pitch, loud), np.float32)
+            # memmove reads raw bytes: the render result must be C-contiguous
+            # float32 of exactly n samples, or we'd copy stride garbage /
+            # read out of bounds on the realtime worker thread
+            audio = np.ascontiguousarray(
+                self._render_py(pitch, loud), np.float32
+            ).ravel()
+            if audio.size != n:
+                if not self._size_warned:
+                    self._size_warned = True
+                    print(
+                        f"[runtime] render returned {audio.size} samples, "
+                        f"expected {n}; emitting silence",
+                        flush=True,
+                    )
+                audio = np.zeros(n, np.float32)
             ctypes.memmove(
                 out_p, audio.ctypes.data, n * ctypes.sizeof(ctypes.c_float)
             )

@@ -30,8 +30,10 @@ extern "C" {
 
 int ddsp_runtime_init(const char *extra_sys_path) {
   if (g_initialized) return 0;
+  bool fresh = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    fresh = true;
   }
   PyGILState_STATE gil = PyGILState_Ensure();
   if (extra_sys_path && *extra_sys_path) {
@@ -41,9 +43,14 @@ int ddsp_runtime_init(const char *extra_sys_path) {
     Py_XDECREF(p);
   }
   g_initialized = true;
-  // Release the GIL so worker threads can acquire it.
   PyGILState_Release(gil);
-  PyEval_SaveThread();
+  // Only a fresh Py_InitializeEx leaves this thread holding the GIL (main
+  // thread state current) — release it so worker threads can acquire.
+  // When the interpreter was already live (host embeds Python, or this
+  // library is driven via ctypes), PyGILState_Release above restored the
+  // caller's state and the current tstate may be NULL: PyEval_SaveThread
+  // would Py_FatalError the whole host process.
+  if (fresh) PyEval_SaveThread();
   return 0;
 }
 

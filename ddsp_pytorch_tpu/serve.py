@@ -44,15 +44,15 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 
 class StreamServer:
     def __init__(self, bundle_dir: str, host: str = "127.0.0.1", port: int = 0):
-        from ddsp_pytorch_tpu.export import load_bundle
+        from ddsp_pytorch_tpu.export import make_streaming_synth
 
         self._bundle_dir = bundle_dir
-        model, params, config = load_bundle(bundle_dir)
-        self._model = model
-        self._params = params
-        self._config = config
-        self.sample_rate = int(config.preprocess.sample_rate)
-        self.block_size = int(config.preprocess.block_size)
+        # ONE compiled step shared by every session (per-connection state);
+        # make_streaming_synth is the single bundle→synth constructor (the
+        # same one the C++ runtime instantiates).
+        self._synth = make_streaming_synth(bundle_dir, batch=1)
+        self.sample_rate = self._synth.sample_rate
+        self.block_size = self._synth.block_size
 
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -61,18 +61,8 @@ class StreamServer:
         self.address = self._sock.getsockname()
         self._stop = threading.Event()
         self._threads = []
+        self._conns = set()  # live session sockets (closed by stop())
         self._lock = threading.Lock()  # serialize device dispatch
-
-        # ONE compiled step shared by every session (per-connection state).
-        from ddsp_pytorch_tpu.streaming import StreamingSynth
-
-        self._synth = StreamingSynth(
-            model,
-            params,
-            mean_loudness=config.data.mean_loudness or 0.0,
-            std_loudness=config.data.std_loudness or 1.0,
-            batch=1,
-        )
         self._session_seed = 0
 
     # ------------------------------------------------------------ session
@@ -110,6 +100,7 @@ class StreamServer:
                 audio = np.asarray(audio_dev)[0]
                 conn.sendall(struct.pack("<I", n) + audio.astype(np.float32).tobytes())
         finally:
+            self._conns.discard(conn)
             conn.close()
 
     # ------------------------------------------------------------- control
@@ -119,6 +110,7 @@ class StreamServer:
                 conn, _ = self._sock.accept()
             except OSError:
                 return
+            self._conns.add(conn)
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
             # prune finished sessions so a long-lived server doesn't hold a
@@ -136,6 +128,13 @@ class StreamServer:
             self._sock.close()
         except OSError:
             pass
+        # unblock sessions parked in recv(): _stop is only checked between
+        # requests, so an idle connection would otherwise outlive stop()
+        for conn in list(self._conns):
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         for t in self._threads:
             t.join(timeout=2)
 

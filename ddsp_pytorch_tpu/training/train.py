@@ -431,12 +431,12 @@ class Trainer:
                 stop = housekeeping(prev_step)
                 if stop:
                     break
-            if not stop and buf:  # epoch tail smaller than steps_per_call
-                prev_step = step
-                for b in buf:
-                    run_single(b)
-                buf.clear()
-                stop = housekeeping(prev_step)
+            # NOTE: buf deliberately carries across epoch boundaries — with
+            # steps_per_call > steps_per_epoch the super-batch fills over
+            # several epochs instead of degenerating to single steps (the
+            # dispatch amortization would otherwise never engage).  Epoch
+            # validation/media may therefore lag the data stream by up to
+            # steps_per_call-1 not-yet-dispatched batches.
             if stop and preempted["flag"]:
                 return state
             flush_metrics()
@@ -455,6 +455,17 @@ class Trainer:
 
             if step >= total_steps:
                 break
+
+        if buf and not preempted["flag"] and step < total_steps:
+            # final partial super-batch: the epoch budget is exhausted, so
+            # drain the leftovers as single steps
+            prev_step = step
+            for b in buf:
+                run_single(b)
+                if step >= total_steps:
+                    break
+            buf.clear()
+            housekeeping(prev_step)
 
         flush_metrics()
         self.checkpointer.save(state, wait=True)

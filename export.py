@@ -42,10 +42,17 @@ def main():
 
         config = Config.from_yaml(path.join(bundle, "config.yaml"))
         data_dir = path.join(args.out_dir, "data")
-        makedirs(data_dir, exist_ok=True)
+        root = path.abspath(config.data.data_location)
         files = get_files(config.data.data_location, config.data.extension)
         for f in files:
-            shutil.copy2(f, data_dir)
+            # preserve the tree relative to data_location: the recursive
+            # glob crosses partitions/subfolders, and same-named files
+            # (train/a.wav vs validation/a.wav) must not overwrite each
+            # other in a flat directory
+            rel = path.relpath(path.abspath(str(f)), root)
+            dst = path.join(data_dir, rel)
+            makedirs(path.dirname(dst), exist_ok=True)
+            shutil.copy2(f, dst)
         print(f"copied {len(files)} wavs to {data_dir}")
 
 

@@ -16,7 +16,13 @@ import math
 import time
 
 
-def run_benchmark(bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto"):
+def run_benchmark(
+    bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto",
+    config=None,
+):
+    """Benchmark a bundle, a given Config's model (random weights), or the
+    default Config.  bench.py delegates here with its north-star config so
+    the driver metric and this CLI always measure the same protocol."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,12 +32,13 @@ def run_benchmark(bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto
     from ddsp_pytorch_tpu.streaming import StreamingSynth
 
     if bundle is not None:
-        from ddsp_pytorch_tpu.export import load_bundle
+        from ddsp_pytorch_tpu.export import make_streaming_synth
 
-        model, params, config = load_bundle(bundle)
+        synth = make_streaming_synth(bundle, batch=batch)
     else:
-        config = Config()
-        config.model.kwargs["use_pallas"] = use_pallas
+        if config is None:
+            config = Config()
+            config.model.kwargs["use_pallas"] = use_pallas
         model = load_model(config)
         rng = jax.random.PRNGKey(0)
         f = config.n_frames
@@ -41,15 +48,15 @@ def run_benchmark(bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto
             "loudness": jnp.zeros((1, f, 1)),
         }
         params = model.init({"params": rng, "noise": rng}, init_batch)["params"]
+        synth = StreamingSynth(
+            model,
+            params,
+            mean_loudness=config.data.mean_loudness or 0.0,
+            std_loudness=config.data.std_loudness or 1.0,
+            batch=batch,
+        )
 
-    sr = int(config.preprocess.sample_rate)
-    synth = StreamingSynth(
-        model,
-        params,
-        mean_loudness=config.data.mean_loudness or 0.0,
-        std_loudness=config.data.std_loudness or 1.0,
-        batch=batch,
-    )
+    sr = synth.sample_rate
 
     n = 2 ** math.ceil(math.log2(sr))
     n = (n // synth.block_size) * synth.block_size

@@ -18,7 +18,9 @@ def main():
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--config", default="configs/config.yaml")
     p.add_argument("--from-sigmund", default=None, metavar="WAV")
-    p.add_argument("--partition", default=None)
+    p.add_argument("--partition", default=None,
+                   help="process only this partition (default: train and "
+                        "validation)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -40,7 +42,10 @@ def main():
     from ddsp_pytorch_tpu.data.preprocess import preprocess_folder
 
     root = Path(config.data.data_location)
-    for partition in ("train", "validation"):
+    partitions = (
+        (args.partition,) if args.partition else ("train", "validation")
+    )
+    for partition in partitions:
         preprocess_folder(root, partition, config)
 
 

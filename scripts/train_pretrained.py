@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -60,7 +61,10 @@ def main():
             block_size=block,
             n_harmonic=48,
             instrument=args.instrument,
-            seed=hash(args.instrument) % (2**31),
+            # deterministic per-instrument seed: str hash() is salted per
+            # process (PYTHONHASHSEED), which would make the committed
+            # bundles' training corpus unreproducible
+            seed=zlib.crc32(args.instrument.encode()) % (2**31),
         )
 
     cfg = Config.from_dict(

@@ -102,8 +102,8 @@ def main():
                 losses.append(rec["value"])
     n = len(losses)
     print(f"steps: {n}")
-    print(f"loss first10 mean: {sum(losses[:10]) / 10:.4f}")
-    print(f"loss last10  mean: {sum(losses[-10:]) / 10:.4f}")
+    print(f"loss first10 mean: {sum(losses[:10]) / max(len(losses[:10]), 1):.4f}")
+    print(f"loss last10  mean: {sum(losses[-10:]) / max(len(losses[-10:]), 1):.4f}")
 
     bundle = export_run(run_dir, os.path.join(args.root, "export"), name=tag)
     print(f"bundle: {bundle}")

@@ -244,3 +244,57 @@ def test_multi_step_scan_matches_sequential_steps(rng):
         jax.tree.leaves(jax.device_get(state_multi.params)),
     ):
         np.testing.assert_allclose(a, b_, rtol=1e-5, atol=1e-6)
+
+
+def test_steps_per_call_buffer_carries_across_epochs(tmp_path):
+    """steps_per_call > steps_per_epoch: the super-batch buffer must fill
+    across epoch boundaries so the scanned multi-step path actually runs
+    (it previously drained to single steps at every epoch end), and the
+    final partial buffer must still be trained."""
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cache = str(tmp_path / "cache")
+    # 4 items @ batch 2 → 2 batches/epoch; steps_per_call 4 spans 2 epochs
+    make_synthetic_dataset(
+        cache, n_items=4, sample_rate=16000, signal_length=1024,
+        block_size=64, n_harmonic=2,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": 16000, "signal_length": 1024,
+                           "block_size": 64, "out_dir": cache},
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 8,
+                    "n_harmonic": 2,
+                    "n_bands": 3,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            # 10 steps: two full multi-calls (8) + a 2-batch leftover drain
+            "train": {"scales": [256], "batch": 2, "steps": 10,
+                      "steps_per_call": 4},
+        }
+    )
+    dm = Datamodule(cfg)
+    dm.setup()
+    trainer = Trainer(cfg, str(tmp_path / "run"), use_tensorboard=False)
+    multi_calls = []
+    orig_multi = trainer._multi_step
+
+    def spy(state, batches):
+        multi_calls.append(1)
+        return orig_multi(state, batches)
+
+    trainer._multi_step = spy
+    try:
+        state = trainer.fit(dm)
+    finally:
+        trainer.close()
+    assert int(state.step) >= 10
+    assert len(multi_calls) >= 2, "scanned multi-step path never engaged"
