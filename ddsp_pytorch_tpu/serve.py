@@ -42,15 +42,43 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
     return buf
 
 
+class _Pending:
+    """A session's in-flight pooled request awaiting its dispatch."""
+
+    __slots__ = ("slot", "f0", "loud", "event", "audio", "error")
+
+    def __init__(self, slot, f0, loud):
+        self.slot = slot
+        self.f0 = f0
+        self.loud = loud
+        self.event = threading.Event()
+        self.audio = None
+        self.error = None
+
+
 class StreamServer:
-    def __init__(self, bundle_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """voices=1 (default): one StreamState per connection, each request is
+    its own batch-1 dispatch.  voices=V>1: VoicePool mode — sessions own
+    slots of ONE batch-V state and a dispatcher thread coalesces pending
+    requests into single batched dispatches (see streaming/pool.py for why
+    this is the TPU-native serving shape).  Pool trade-offs: noise draws
+    come from one batch-level PRNG stream, and a connection beyond V is
+    closed at accept (no hello)."""
+
+    def __init__(
+        self,
+        bundle_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        voices: int = 1,
+    ):
         from ddsp_pytorch_tpu.export import make_streaming_synth
 
         self._bundle_dir = bundle_dir
         # ONE compiled step shared by every session (per-connection state);
         # make_streaming_synth is the single bundle→synth constructor (the
         # same one the C++ runtime instantiates).
-        self._synth = make_streaming_synth(bundle_dir, batch=1)
+        self._synth = make_streaming_synth(bundle_dir, batch=max(1, voices))
         self.sample_rate = self._synth.sample_rate
         self.block_size = self._synth.block_size
 
@@ -65,19 +93,39 @@ class StreamServer:
         self._lock = threading.Lock()  # serialize device dispatch
         self._session_seed = 0
 
+        self._pool = None
+        self._dispatcher = None
+        if voices > 1:
+            import queue
+
+            from ddsp_pytorch_tpu.streaming.pool import VoicePool
+
+            self._pool = VoicePool(self._synth)
+            self._queue = queue.Queue()
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True
+            )
+            self._dispatcher.start()
+
     # ------------------------------------------------------------ session
     def _serve_conn(self, conn: socket.socket) -> None:
+        slot = None
         try:
+            if self._pool is not None:
+                slot = self._pool.acquire()
+                if slot is None:  # pool full: close without a hello
+                    return
             conn.sendall(
                 MAGIC + struct.pack("<II", self.sample_rate, self.block_size)
             )
-            with self._lock:
-                # distinct seed per session: concurrent streams must not
-                # share one noise-RNG stream (identical controls would
-                # otherwise produce bit-identical "random" noise audio)
-                seed = self._session_seed
-                self._session_seed += 1
-                state = self._synth.fresh_state(seed=seed)
+            if self._pool is None:
+                with self._lock:
+                    # distinct seed per session: concurrent streams must
+                    # not share one noise-RNG stream (identical controls
+                    # would otherwise produce bit-identical "random" noise)
+                    seed = self._session_seed
+                    self._session_seed += 1
+                    state = self._synth.fresh_state(seed=seed)
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
                 if head is None:
@@ -93,15 +141,79 @@ class StreamServer:
                     return
                 data = np.frombuffer(payload, np.float32)
                 pitch, loud = data[:n], data[n:]
-                f0 = pitch[None, :: self.block_size, None]
-                ld = loud[None, :: self.block_size, None]
-                with self._lock:
-                    audio_dev, state = self._synth.step_stateless(state, f0, ld)
-                audio = np.asarray(audio_dev)[0]
+                if self._pool is not None:
+                    pending = _Pending(
+                        slot,
+                        pitch[:: self.block_size, None],
+                        loud[:: self.block_size, None],
+                    )
+                    self._queue.put(pending)
+                    if not pending.event.wait(timeout=30):
+                        return
+                    if pending.error is not None:
+                        return
+                    audio = pending.audio
+                else:
+                    f0 = pitch[None, :: self.block_size, None]
+                    ld = loud[None, :: self.block_size, None]
+                    with self._lock:
+                        audio_dev, state = self._synth.step_stateless(
+                            state, f0, ld
+                        )
+                    audio = np.asarray(audio_dev)[0]
                 conn.sendall(struct.pack("<I", n) + audio.astype(np.float32).tobytes())
         finally:
+            if slot is not None:
+                self._pool.release(slot)
             self._conns.discard(conn)
             conn.close()
+
+    def _dispatch_loop(self) -> None:
+        """Coalesce pending pooled requests into batched dispatches.
+
+        Each round: wait for one request, drain whatever else is queued,
+        group by frame count (one dispatch per group), answer every
+        session.  A duplicate slot in one round (a pipelining client) is
+        deferred to the next round."""
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            while True:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            groups = {}
+            deferred = []
+            for item in batch:
+                g = groups.setdefault(item.f0.shape[0], {})
+                if item.slot in g:
+                    deferred.append(item)
+                else:
+                    g[item.slot] = item
+            for d in deferred:
+                self._queue.put(d)
+            for items in groups.values():
+                requests = {
+                    s: (it.f0, it.loud) for s, it in items.items()
+                }
+                try:
+                    # pool.step returns host rows from one device gather +
+                    # one pull (the device→host link is the scarce
+                    # resource, not the chip)
+                    outs = self._pool.step(requests)
+                    for s, audio in outs.items():
+                        items[s].audio = audio
+                except Exception as e:  # surface to the waiting sessions
+                    for it in items.values():
+                        it.error = e
+                for it in items.values():
+                    it.event.set()
 
     # ------------------------------------------------------------- control
     def serve_forever(self) -> None:
@@ -137,6 +249,8 @@ class StreamServer:
                 pass
         for t in self._threads:
             t.join(timeout=2)
+        if self._dispatcher is not None:
+            self._dispatcher.join(timeout=2)
 
 
 class StreamClient:
@@ -180,9 +294,13 @@ def main():
     p.add_argument("--bundle", required=True)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7770)
+    p.add_argument("--voices", type=int, default=1,
+                   help=">1 enables VoicePool mode: up to N concurrent "
+                        "sessions batched into single device dispatches")
     args = p.parse_args()
 
-    server = StreamServer(args.bundle, args.host, args.port)
+    server = StreamServer(args.bundle, args.host, args.port,
+                          voices=args.voices)
     print(
         f"serving {args.bundle} on {server.address} "
         f"(sr={server.sample_rate}, block={server.block_size})"

@@ -101,7 +101,8 @@ class StreamingSynth:
         # over — a closure constant would be embedded into the executable,
         # which forces a device→host pull of the complex64 array at trace
         # time (unimplemented on some TPU transports).
-        def step_fn(params, state: StreamState, f0, loudness, ir_spectra):
+        def step_fn(params, state: StreamState, f0, loudness, ir_spectra,
+                    active=None):
             loudness = (loudness - self.mean_loudness) / self.std_loudness
             rng, noise_rng = jax.random.split(state.rng)
             b, f = f0.shape[0], f0.shape[1]
@@ -131,15 +132,33 @@ class StreamingSynth:
                 audio, reverb_state = pconv.streaming_convolve(
                     pir, reverb_state, audio
                 )
+            if active is not None:
+                # masked advance (VoicePool): rows with active=False keep
+                # their stream state — their output rows are meaningless.
+                # The shared PRNG key always advances; it is a batch-level
+                # resource, not per-voice state.
+                def keep(new, old):
+                    m = active.reshape(
+                        active.shape + (1,) * (new.ndim - active.ndim)
+                    )
+                    return jnp.where(m, new, old)
+
+                gru = keep(gru, state.gru)
+                phase = keep(phase, state.phase)
+                if reverb_state is not None:
+                    reverb_state = jax.tree.map(
+                        keep, reverb_state, state.reverb
+                    )
             return audio, StreamState(
                 gru=gru, phase=phase, rng=rng, reverb=reverb_state
             )
 
         self._step_raw = jax.jit(step_fn, donate_argnums=(1,))
 
-        def _step(params, state, f0, loudness):
+        def _step(params, state, f0, loudness, active=None):
             spectra = self._pir.spectra if self._pir is not None else None
-            return self._step_raw(params, state, f0, loudness, spectra)
+            return self._step_raw(params, state, f0, loudness, spectra,
+                                  active)
 
         self._step = _step
 
@@ -169,6 +188,20 @@ class StreamingSynth:
             state,
             jnp.asarray(f0_frames, jnp.float32),
             jnp.asarray(loudness_frames, jnp.float32),
+        )
+
+    def step_stateless_masked(self, state: StreamState, f0_frames,
+                              loudness_frames, active):
+        """Pure step advancing only the voices with active=True: inactive
+        rows keep their stream state and their output rows are meaningless.
+        This is the VoicePool primitive — one batched dispatch serves every
+        active session in lockstep."""
+        return self._step(
+            self.params,
+            state,
+            jnp.asarray(f0_frames, jnp.float32),
+            jnp.asarray(loudness_frames, jnp.float32),
+            jnp.asarray(active, bool),
         )
 
     def step(self, f0_frames, loudness_frames) -> np.ndarray:

@@ -51,3 +51,73 @@ def test_stream_server_roundtrip(tmp_path):
         client2.close()
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_stream_server_voice_pool(tmp_path):
+    """voices>1: concurrent sessions share one batched dispatch path; each
+    session's streamed audio must equal a dedicated batch-1 session's
+    harmonic content, the pool must enforce capacity, and slots must be
+    reusable after release."""
+    import threading
+
+    from tests.test_export_runtime import _train_tiny
+
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.serve import StreamClient, StreamServer
+
+    run_dir, cfg = _train_tiny(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="vp")
+
+    server = StreamServer(bundle, port=0, voices=2)
+    server.start()
+    host, port = server.address
+    try:
+        n = 4 * 128
+        pitch = np.full(n, 220.0, np.float32)
+        loud = np.zeros(n, np.float32)
+
+        # two concurrent sessions rendering in parallel (forces the
+        # dispatcher to serve both, possibly coalesced into one dispatch)
+        c1, c2 = StreamClient(host, port), StreamClient(host, port)
+        results = {}
+
+        def run(tag, client):
+            results[tag] = [client.render(pitch, loud) for _ in range(3)]
+
+        t1 = threading.Thread(target=run, args=("a", c1))
+        t2 = threading.Thread(target=run, args=("b", c2))
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+        for tag in ("a", "b"):
+            for blk in results[tag]:
+                assert blk.shape == (n,)
+                assert np.all(np.isfinite(blk))
+        # both sessions started from fresh slots: first blocks agree up to
+        # the (quiet) noise branch; phase continuation makes block 2 differ
+        np.testing.assert_allclose(results["a"][0], results["b"][0], atol=1e-2)
+        assert not np.allclose(results["a"][0], results["a"][1])
+
+        # capacity: a third concurrent session is refused (no hello)
+        with pytest.raises(AssertionError):
+            StreamClient(host, port)
+
+        # release frees the slot for a newcomer, with fresh state (retry:
+        # the server releases the slot asynchronously after close())
+        c2.close()
+        c3 = None
+        for _ in range(50):
+            try:
+                c3 = StreamClient(host, port)
+                break
+            except AssertionError:
+                import time
+
+                time.sleep(0.1)
+        assert c3 is not None, "slot never freed after close()"
+        b1 = c3.render(pitch, loud)
+        np.testing.assert_allclose(b1, results["b"][0], atol=1e-2)
+        c1.close()
+        c3.close()
+    finally:
+        server.stop()
