@@ -298,3 +298,79 @@ def test_steps_per_call_buffer_carries_across_epochs(tmp_path):
         trainer.close()
     assert int(state.step) >= 10
     assert len(multi_calls) >= 2, "scanned multi-step path never engaged"
+
+
+@pytest.mark.slow
+def test_hard_kill_checkpoint_resume(tmp_path):
+    """Fault injection: SIGKILL a training subprocess mid-run (no signal
+    handler can fire) and verify a fresh process resumes from the last
+    atomic Orbax checkpoint and completes — the elastic-recovery property
+    the reference lacks entirely (SURVEY.md §5 failure detection)."""
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    cache = os.path.join(tmp_path, "cache")
+    run_dir = os.path.join(tmp_path, "run")
+    script = textwrap.dedent(
+        f"""
+        import jax; jax.config.update('jax_platforms', 'cpu')
+        import os
+        from ddsp_pytorch_tpu.config import Config
+        from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+        from ddsp_pytorch_tpu.training import Trainer
+        cache, run_dir = {cache!r}, {run_dir!r}
+        if not os.path.exists(cache):
+            make_synthetic_dataset(cache, n_items=4, sample_rate=16000,
+                                   signal_length=4096, block_size=128,
+                                   n_harmonic=4)
+        cfg = Config.from_dict({{
+            'preprocess': {{'sample_rate': 16000, 'signal_length': 4096,
+                            'block_size': 128, 'out_dir': cache}},
+            'model': {{'name': 'single-inst-decoder', 'kwargs': {{
+                'hidden_size': 16, 'n_harmonic': 4, 'n_bands': 5,
+                'sample_rate': 16000, 'block_size': 128,
+                'has_reverb': False, 'use_pallas': 'never'}}}},
+            'train': {{'scales': [256], 'batch': 2, 'steps': 60,
+                       'checkpoint_every_steps': 5}}}})
+        dm = Datamodule(cfg); dm.setup()
+        t = Trainer(cfg, run_dir, use_tensorboard=False)
+        print('TRAINER_READY', flush=True)
+        state = t.fit(dm); t.close()
+        print('DONE', int(state.step), flush=True)
+        """
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    # first run: kill -9 once training is underway (first checkpoint ~step 5)
+    p = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "TRAINER_READY" in p.stdout.readline()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        ckpts = (
+            os.listdir(os.path.join(run_dir, "checkpoints"))
+            if os.path.exists(os.path.join(run_dir, "checkpoints"))
+            else []
+        )
+        if any(c.isdigit() and int(c) >= 5 for c in ckpts):
+            break
+        _time.sleep(0.2)
+    p.kill()  # SIGKILL: no cleanup, no final checkpoint
+    p.wait(timeout=30)
+    assert p.returncode != 0, "process was supposed to die mid-run"
+
+    # second run: must restore and reach the full step budget
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    )
+    assert out.returncode == 0, "resume run crashed"
+    done = [l for l in out.stdout.splitlines() if l.startswith("DONE")]
+    assert done and int(done[0].split()[1]) >= 60
