@@ -31,10 +31,21 @@ class MFCCEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mfccs: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        mfccs: jax.Array,
+        gru_state: Optional[jax.Array] = None,
+        return_state: bool = False,
+    ):
+        """(B, F, n_mfccs) → (B, F, z_dim); optionally threads the encoder
+        GRU hidden state for block streaming (the reference autoencoder has
+        no realtime path at all — encoder.py:29-141)."""
         x = nn.LayerNorm(dtype=self.dtype)(mfccs)
-        x, _ = GRU(self.hidden_size, dtype=self.dtype)(x)
-        return nn.Dense(self.z_dim, dtype=self.dtype)(x)
+        x, state = GRU(self.hidden_size, dtype=self.dtype)(x, gru_state)
+        z = nn.Dense(self.z_dim, dtype=self.dtype)(x)
+        if return_state:
+            return z, state
+        return z
 
 
 class DDSPAutoencoder(nn.Module):
@@ -72,6 +83,18 @@ class DDSPAutoencoder(nn.Module):
         if self.has_reverb:
             self.reverb = Reverb(self.sample_rate, self.sample_rate)
 
+    def _controls(self, hidden, f0):
+        """Project decoder hidden state to synth controls (f32)."""
+        param = self.harmonic_proj(hidden).astype(jnp.float32)
+        amplitudes = param[..., :1]
+        harmonic_distribution = param[..., 1:]
+        harmonic_ctrls = self.harmonic_synth.get_controls(
+            amplitudes, harmonic_distribution, f0
+        )
+        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
+        noise_ctrls = self.noise_synth.get_controls(magnitudes)
+        return harmonic_ctrls, noise_ctrls
+
     def __call__(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
         """batch: {'pitch', 'loudness', 'mfcc'} → output dict (adds 'z')."""
         f0 = batch["pitch"].astype(jnp.float32)
@@ -80,16 +103,8 @@ class DDSPAutoencoder(nn.Module):
         z = self.encoder(mfcc)
         hidden = self.decoder(f0, loudness, z=z)
 
-        param = self.harmonic_proj(hidden).astype(jnp.float32)
-        amplitudes = param[..., :1]
-        harmonic_distribution = param[..., 1:]
-        harmonic_ctrls = self.harmonic_synth.get_controls(
-            amplitudes, harmonic_distribution, f0
-        )
+        harmonic_ctrls, noise_ctrls = self._controls(hidden, f0)
         harmonic = self.harmonic_synth(**harmonic_ctrls)
-
-        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
-        noise_ctrls = self.noise_synth.get_controls(magnitudes)
         noise = self.noise_synth(**noise_ctrls)
 
         signal = harmonic + noise
@@ -106,6 +121,41 @@ class DDSPAutoencoder(nn.Module):
             "harmonic_ctrls": harmonic_ctrls,
             "z": z,
         }
+
+    def streaming_step(
+        self,
+        f0: jax.Array,
+        loudness: jax.Array,
+        mfcc: jax.Array,
+        enc_gru_state: jax.Array,
+        gru_state: jax.Array,
+        phase: jax.Array,
+        noise: Optional[jax.Array] = None,
+    ):
+        """One streaming block: frame-rate controls + MFCC frames in, audio
+        plus carries (encoder GRU, decoder GRU, oscillator phase) out.
+
+        The reference's autoencoder has NO realtime path (encoder.py:29-141
+        defines no realtime_forward); this one is exact — block-streamed
+        output equals the offline forward given the same noise draw
+        (tests/test_streaming.py).  MFCC frames come from a causal extractor
+        (ops/spectral.py StreamingMFCC).  No reverb, matching the realtime
+        contract (the exported IR is applied externally or via the in-stream
+        partitioned convolution in streaming/StreamingSynth).
+        """
+        f0 = f0.astype(jnp.float32)
+        z, new_enc_state = self.encoder(
+            mfcc, gru_state=enc_gru_state, return_state=True
+        )
+        hidden, new_gru_state = self.decoder(
+            f0, loudness, z=z, gru_state=gru_state, return_state=True
+        )
+        harmonic_ctrls, noise_ctrls = self._controls(hidden, f0)
+        harmonic, new_phase = self.harmonic_synth(
+            **harmonic_ctrls, phase0=phase, return_phase=True
+        )
+        noise_audio = self.noise_synth(**noise_ctrls, noise=noise)
+        return harmonic + noise_audio, new_enc_state, new_gru_state, new_phase
 
     @staticmethod
     def reconstruction_report(output: dict, config, index: int = 0):

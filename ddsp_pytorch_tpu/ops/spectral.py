@@ -170,17 +170,26 @@ def dct_matrix(n_out: int, n_in: int) -> np.ndarray:
 
 
 def power_to_db(
-    s: jax.Array, amin: float = 1e-10, top_db: float = 80.0
+    s: jax.Array,
+    amin: float = 1e-10,
+    top_db: float = 80.0,
+    ref_db: float | None = None,
 ) -> jax.Array:
-    """10*log10(max(amin, s)) clipped to (max - top_db), librosa semantics.
+    """10*log10(max(amin, s)) clipped to (ref - top_db), librosa semantics.
 
-    The max is taken over the whole (per-signal) spectrogram: for batched
-    input (..., mels, frames) the clip reference is the max over the last two
-    axes, matching per-file librosa behavior.
+    With ref_db=None the clip reference is the max over the whole (per-signal)
+    spectrogram — the last two axes of (..., mels, frames) — matching per-file
+    librosa behavior.  That reference is *anti-causal* (it depends on future
+    frames), so streaming consumers (StreamingMFCC) pass a fixed ref_db
+    instead; offline callers may pass the same value to get the exact same
+    floor.
     """
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, s))
     if top_db is not None:
-        ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        if ref_db is None:
+            ref = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+        else:
+            ref = jnp.asarray(ref_db, log_spec.dtype)
         log_spec = jnp.maximum(log_spec, ref - top_db)
     return log_spec
 
@@ -210,6 +219,7 @@ def mfcc(
     fmin: float = 20.0,
     fmax: float = 8000.0,
     n_mels: int = 128,
+    ref_db: float | None = None,
 ) -> jax.Array:
     """MFCCs matching librosa.feature.mfcc as called by the reference
     (preprocess.py:30-32).  (..., T) → (..., n_frames, n_mfcc).
@@ -217,6 +227,9 @@ def mfcc(
     Pipeline: power spectrogram (center reflect pad, periodic Hann, not
     normalized) → Slaney mel filterbank → power_to_db(top_db=80) →
     orthonormal DCT-II → first n_mfcc coefficients.
+
+    ref_db: fixed dB floor reference for power_to_db (None → librosa's global
+    spectrogram max).  Pass a fixed value to match StreamingMFCC exactly.
     """
     spec = stft(
         signal, n_fft, hop_length, center=True, normalized=False, magnitude=True
@@ -224,7 +237,117 @@ def mfcc(
     power = jnp.square(spec)  # (..., bins, frames)
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax))
     mel = jnp.einsum("mf,...ft->...mt", fb, power)
-    mel_db = power_to_db(mel, amin=1e-10, top_db=80.0)
+    mel_db = power_to_db(mel, amin=1e-10, top_db=80.0, ref_db=ref_db)
     dct = jnp.asarray(dct_matrix(n_mfcc, n_mels))
     out = jnp.einsum("cm,...mt->...ct", dct, mel_db)
     return jnp.swapaxes(out, -1, -2)  # (..., frames, n_mfcc)
+
+
+class StreamingMFCC:
+    """Causal block-streaming MFCC emitting exactly the offline `mfcc` frames.
+
+    Offline, frame j of `mfcc(signal, hop_length=hop)` windows samples
+    [j·hop − n_fft/2, j·hop + n_fft/2) of the center-reflect-padded signal;
+    the data pipeline keeps frames 0..F−1 aligned with the pitch/loudness
+    frames (reference ddsp/preprocess.py:30-32 + ddsp/data.py:25).  This
+    class buffers pushed audio and emits each frame as soon as its last
+    dependency sample has arrived: frame j needs j·hop + n_fft/2 samples,
+    except frame 0, whose left reflect pad mirrors x[1..n_fft/2] and so
+    needs n_fft/2 + 1 samples.  With the reference geometry (n_fft = 2·hop)
+    that is one frame per hop-sized block from block 1 onward (block 1
+    releases frames 0 and 1) — block-rate feature extraction with no
+    lookahead beyond the first block.
+
+    The one offline dependency that cannot be causal is librosa's top_db
+    floor, which clips against the *global* spectrogram max (power_to_db) —
+    i.e. against future frames.  Streaming therefore floors against a fixed
+    `ref_db` (None disables the floor); pass the same ref_db to offline
+    `mfcc` for exact equivalence (tests/test_spectral.py).
+
+    This is the realtime front-end for the MFCC-autoencoder's streaming path
+    (models/encoder.py streaming_step) — a capability the reference does not
+    have at all (its autoencoder has no realtime_forward, encoder.py:29-141).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int,
+        *,
+        batch: int = 1,
+        n_mfcc: int = 30,
+        n_fft: int = 1024,
+        hop_length: int = 512,
+        fmin: float = 20.0,
+        fmax: float = 8000.0,
+        n_mels: int = 128,
+        ref_db: float | None = None,
+    ):
+        if n_fft > 2 * hop_length:
+            raise ValueError(
+                "StreamingMFCC requires n_fft <= 2*hop_length (frame j must "
+                f"be computable from blocks 0..j); got n_fft={n_fft}, "
+                f"hop={hop_length}"
+            )
+        self.sample_rate = int(sample_rate)
+        self.batch = int(batch)
+        self.n_mfcc = int(n_mfcc)
+        self.n_fft = int(n_fft)
+        self.hop = int(hop_length)
+        self.ref_db = ref_db
+        self._fb = jnp.asarray(
+            mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+        )
+        self._dct = jnp.asarray(dct_matrix(n_mfcc, n_mels))
+        self.reset()
+
+    def reset(self) -> None:
+        self._raw = np.zeros((self.batch, 0), np.float32)  # pre-pad stash
+        self._buf = None  # padded stream tail from the next frame's window on
+        self._next = 0  # index of the next frame to emit
+
+    def push(self, samples) -> np.ndarray:
+        """Append (B, n) samples; return all newly computable MFCC frames
+        (B, k, n_mfcc), k >= 0 (k varies at stream start)."""
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 2 or samples.shape[0] != self.batch:
+            raise ValueError(f"expected (batch={self.batch}, n) samples")
+        pad = self.n_fft // 2
+        if self._buf is None:
+            self._raw = np.concatenate([self._raw, samples], axis=1)
+            if self._raw.shape[1] < pad + 1:
+                return np.zeros((self.batch, 0, self.n_mfcc), np.float32)
+            # enough history to build the left reflect pad exactly as
+            # jnp.pad(mode='reflect') does offline: x[pad], ..., x[1]
+            left = self._raw[:, 1 : pad + 1][:, ::-1]
+            self._buf = np.concatenate([left, self._raw], axis=1)
+            self._raw = np.zeros((self.batch, 0), np.float32)
+        else:
+            self._buf = np.concatenate([self._buf, samples], axis=1)
+
+        n_avail = (
+            (self._buf.shape[1] - self.n_fft) // self.hop + 1
+            if self._buf.shape[1] >= self.n_fft
+            else 0
+        )
+        if n_avail <= 0:
+            return np.zeros((self.batch, 0, self.n_mfcc), np.float32)
+
+        # Same op sequence as offline mfcc(): per-frame window → rfft →
+        # power → mel → dB floor → DCT (each frame independent, so the
+        # values are identical to the offline batch computation).
+        seg = self._buf[:, : (n_avail - 1) * self.hop + self.n_fft]
+        frames = frame_signal(jnp.asarray(seg), self.n_fft, self.hop)
+        frames = frames * hann_window(self.n_fft, dtype=frames.dtype)
+        spec = jnp.swapaxes(jnp.fft.rfft(frames, axis=-1), -1, -2)
+        power = jnp.square(jnp.abs(spec))  # (B, bins, k)
+        mel = jnp.einsum("mf,...ft->...mt", self._fb, power)
+        mel_db = power_to_db(
+            mel, amin=1e-10, top_db=80.0 if self.ref_db is not None else None,
+            ref_db=self.ref_db,
+        )
+        out = jnp.einsum("cm,...mt->...ct", self._dct, mel_db)
+        out = np.asarray(jnp.swapaxes(out, -1, -2))  # (B, k, n_mfcc)
+
+        self._buf = self._buf[:, n_avail * self.hop :]
+        self._next += n_avail
+        return out

@@ -25,20 +25,31 @@ import numpy as np
 
 @flax.struct.dataclass
 class StreamState:
-    gru: jax.Array  # (B, hidden)
+    gru: jax.Array  # (B, hidden) decoder GRU carry
     phase: jax.Array  # (B,)
     rng: jax.Array  # PRNG key for the noise synth
     reverb: Optional[object] = None  # partitioned-conv ConvState, if enabled
+    enc_gru: Optional[jax.Array] = None  # (B, hidden) encoder GRU carry
+    # (mfcc-autoencoder streams only)
 
 
 def init_stream_state(
-    hidden_size: int, batch: int = 1, seed: int = 0, reverb_state=None
+    hidden_size: int,
+    batch: int = 1,
+    seed: int = 0,
+    reverb_state=None,
+    enc_hidden_size: Optional[int] = None,
 ) -> StreamState:
     return StreamState(
         gru=jnp.zeros((batch, hidden_size), jnp.float32),
         phase=jnp.zeros((batch,), jnp.float32),
         rng=jax.random.PRNGKey(seed),
         reverb=reverb_state,
+        enc_gru=(
+            jnp.zeros((batch, enc_hidden_size), jnp.float32)
+            if enc_hidden_size is not None
+            else None
+        ),
     )
 
 
@@ -81,6 +92,12 @@ class StreamingSynth:
         self.std_loudness = float(std_loudness)
         self._noise_deterministic = noise_deterministic
         self._batch = batch
+        from ddsp_pytorch_tpu.models.encoder import DDSPAutoencoder
+
+        # mfcc-autoencoder streams additionally thread the encoder GRU carry
+        # and take per-block MFCC frames (from ops/spectral.py StreamingMFCC)
+        # — the reference's autoencoder has no realtime path at all.
+        self._autoencoder = isinstance(model, DDSPAutoencoder)
 
         self._pir = None
         if include_reverb:
@@ -102,7 +119,7 @@ class StreamingSynth:
         # which forces a device→host pull of the complex64 array at trace
         # time (unimplemented on some TPU transports).
         def step_fn(params, state: StreamState, f0, loudness, ir_spectra,
-                    active=None):
+                    active=None, mfcc=None):
             loudness = (loudness - self.mean_loudness) / self.std_loudness
             rng, noise_rng = jax.random.split(state.rng)
             b, f = f0.shape[0], f0.shape[1]
@@ -113,15 +130,29 @@ class StreamingSynth:
                     jax.random.uniform(noise_rng, (b, f, self.block_size)) * 2.0
                     - 1.0
                 )
-            audio, gru, phase = model.apply(
-                {"params": params},
-                f0,
-                loudness,
-                state.gru,
-                state.phase,
-                noise,
-                method=model.streaming_step,
-            )
+            if self._autoencoder:
+                audio, enc_gru, gru, phase = model.apply(
+                    {"params": params},
+                    f0,
+                    loudness,
+                    mfcc,
+                    state.enc_gru,
+                    state.gru,
+                    state.phase,
+                    noise,
+                    method=model.streaming_step,
+                )
+            else:
+                audio, gru, phase = model.apply(
+                    {"params": params},
+                    f0,
+                    loudness,
+                    state.gru,
+                    state.phase,
+                    noise,
+                    method=model.streaming_step,
+                )
+                enc_gru = state.enc_gru
             reverb_state = state.reverb
             if ir_spectra is not None:
                 from ddsp_pytorch_tpu.ops import partitioned_conv as pconv
@@ -145,20 +176,28 @@ class StreamingSynth:
 
                 gru = keep(gru, state.gru)
                 phase = keep(phase, state.phase)
+                if enc_gru is not None:
+                    enc_gru = keep(enc_gru, state.enc_gru)
                 if reverb_state is not None:
                     reverb_state = jax.tree.map(
                         keep, reverb_state, state.reverb
                     )
             return audio, StreamState(
-                gru=gru, phase=phase, rng=rng, reverb=reverb_state
+                gru=gru, phase=phase, rng=rng, reverb=reverb_state,
+                enc_gru=enc_gru,
             )
 
         self._step_raw = jax.jit(step_fn, donate_argnums=(1,))
 
-        def _step(params, state, f0, loudness, active=None):
+        def _step(params, state, f0, loudness, active=None, mfcc=None):
+            if self._autoencoder and mfcc is None:
+                raise ValueError(
+                    "mfcc-autoencoder stream: pass mfcc frames (B, F, "
+                    "n_mfccs) — see ops/spectral.py StreamingMFCC"
+                )
             spectra = self._pir.spectra if self._pir is not None else None
             return self._step_raw(params, state, f0, loudness, spectra,
-                                  active)
+                                  active, mfcc)
 
         self._step = _step
 
@@ -169,7 +208,13 @@ class StreamingSynth:
 
             reverb_state = pconv.init_state(self._pir, (batch,))
         return init_stream_state(
-            self.model.hidden_size, batch, seed, reverb_state
+            self.model.hidden_size,
+            batch,
+            seed,
+            reverb_state,
+            enc_hidden_size=(
+                self.model.hidden_size if self._autoencoder else None
+            ),
         )
 
     def reset(self, seed: int = 0) -> None:
@@ -180,18 +225,21 @@ class StreamingSynth:
         share this instance's compiled step — e.g. serve.py)."""
         return self._fresh_state(self._batch, seed)
 
-    def step_stateless(self, state: StreamState, f0_frames, loudness_frames):
+    def step_stateless(self, state: StreamState, f0_frames, loudness_frames,
+                       mfcc_frames=None):
         """Pure step: (state, controls) → (audio, new_state).  Shares the
-        compiled function across arbitrarily many concurrent sessions."""
+        compiled function across arbitrarily many concurrent sessions.
+        mfcc_frames (B, F, n_mfccs): required for mfcc-autoencoder streams."""
         return self._step(
             self.params,
             state,
             jnp.asarray(f0_frames, jnp.float32),
             jnp.asarray(loudness_frames, jnp.float32),
+            mfcc=self._as_mfcc(mfcc_frames),
         )
 
     def step_stateless_masked(self, state: StreamState, f0_frames,
-                              loudness_frames, active):
+                              loudness_frames, active, mfcc_frames=None):
         """Pure step advancing only the voices with active=True: inactive
         rows keep their stream state and their output rows are meaningless.
         This is the VoicePool primitive — one batched dispatch serves every
@@ -202,15 +250,25 @@ class StreamingSynth:
             jnp.asarray(f0_frames, jnp.float32),
             jnp.asarray(loudness_frames, jnp.float32),
             jnp.asarray(active, bool),
+            mfcc=self._as_mfcc(mfcc_frames),
         )
 
-    def step(self, f0_frames, loudness_frames) -> np.ndarray:
+    @staticmethod
+    def _as_mfcc(mfcc_frames):
+        return (
+            jnp.asarray(mfcc_frames, jnp.float32)
+            if mfcc_frames is not None
+            else None
+        )
+
+    def step(self, f0_frames, loudness_frames, mfcc_frames=None) -> np.ndarray:
         """Frame-rate controls (B, F, 1) → (B, F*block_size) audio."""
         audio, self.state = self._step(
             self.params,
             self.state,
             jnp.asarray(f0_frames, jnp.float32),
             jnp.asarray(loudness_frames, jnp.float32),
+            mfcc=self._as_mfcc(mfcc_frames),
         )
         return audio
 
