@@ -48,6 +48,13 @@ class PreprocessConfig:
     mfcc_fmin: float = 20.0
     mfcc_fmax: float = 8000.0
     n_mels: int = 128
+    # Fixed dB reference for the MFCC log floor (None → librosa's per-chunk
+    # global-max reference, matching the reference exactly).  Set a value
+    # (e.g. 0.0) to make train-time MFCCs identical to what the causal
+    # streaming extractor (ops/spectral.py StreamingMFCC) computes live —
+    # required for exact train/stream agreement of the mfcc-autoencoder's
+    # realtime path.  Frozen into exported bundles.
+    mfcc_ref_db: Optional[float] = None
     loudness_n_fft: int = 2048
     # Pitch tracker configuration (the reference shells out to CREPE,
     # core.py:100-119; we ship a JAX YIN+Viterbi tracker, ops/pitch.py, and

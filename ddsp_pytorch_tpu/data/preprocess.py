@@ -46,6 +46,7 @@ def preprocess(
     mfcc_fmin: float = 20.0,
     mfcc_fmax: float = 8000.0,
     n_mels: int = 128,
+    mfcc_ref_db: float | None = None,
     loudness_n_fft: int = 2048,
     pitch_fn=None,
     **_unused,
@@ -86,6 +87,7 @@ def preprocess(
             fmin=mfcc_fmin,
             fmax=mfcc_fmax,
             n_mels=n_mels,
+            ref_db=mfcc_ref_db,
         )
     )
     return (
@@ -154,6 +156,7 @@ def preprocess_folder(root_dir, partition: str, config: Config) -> None:
             mfcc_fmin=pc.mfcc_fmin,
             mfcc_fmax=pc.mfcc_fmax,
             n_mels=pc.n_mels,
+            mfcc_ref_db=pc.mfcc_ref_db,
             loudness_n_fft=pc.loudness_n_fft,
             pitch_fn=pitch_fn,
         )

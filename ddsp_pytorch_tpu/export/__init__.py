@@ -132,6 +132,40 @@ def make_streaming_synth(bundle_dir: str, batch: int = 1, **kwargs):
     )
 
 
+def make_streaming_mfcc(bundle_dir_or_config, batch: int = 1):
+    """Bundle (or Config) → causal StreamingMFCC matching the bundle's
+    preprocess geometry — the live feature extractor for streaming the
+    mfcc-autoencoder (pair with make_streaming_synth; the reference's
+    autoencoder has no realtime path at all, encoder.py:29-141).
+
+    Exact train/stream agreement additionally requires the bundle to have
+    been preprocessed with a fixed preprocess.mfcc_ref_db (see config.py);
+    with the default None, training used librosa's anti-causal global-max
+    dB floor and the live extractor runs floorless (differing only on mel
+    bins >80 dB below each chunk's peak).
+    """
+    from ddsp_pytorch_tpu.ops.spectral import StreamingMFCC
+
+    if isinstance(bundle_dir_or_config, Config):
+        config = bundle_dir_or_config
+    else:
+        config = Config.from_yaml(
+            path.join(bundle_dir_or_config, "config.yaml")
+        )
+    pc = config.preprocess
+    return StreamingMFCC(
+        pc.sample_rate,
+        batch=batch,
+        n_mfcc=pc.n_mfcc,
+        n_fft=pc.mfcc_n_fft,
+        hop_length=pc.block_size,
+        fmin=pc.mfcc_fmin,
+        fmax=pc.mfcc_fmax,
+        n_mels=pc.n_mels,
+        ref_db=pc.mfcc_ref_db,
+    )
+
+
 def _dummy_batch(config: Config):
     import jax.numpy as jnp
 

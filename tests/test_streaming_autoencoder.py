@@ -131,6 +131,57 @@ class TestStreamingMFCC:
             sm.push(np.zeros((3, BLOCK), np.float32))
 
 
+def test_preprocess_ref_db_agrees_with_streaming(tmp_path):
+    """preprocess.mfcc_ref_db threads the fixed dB floor into the feature
+    cache, and export.make_streaming_mfcc builds the live extractor from
+    the same (frozen) config — train-time MFCCs == streamed MFCCs."""
+    from ddsp_pytorch_tpu.data.preprocess import preprocess
+    from ddsp_pytorch_tpu.export import make_streaming_mfcc
+    from ddsp_pytorch_tpu.utils import load_wav, save_wav
+
+    sr, block, siglen, n_fft = 16000, 256, 2048, 512
+    x = _signal(batch=1, seed=21)[0, :siglen]
+    wav = tmp_path / "tone.wav"
+    save_wav(str(wav), x, sr)
+    x, _ = load_wav(str(wav), sr)  # the samples preprocess actually saw
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": sr,
+                "signal_length": siglen,
+                "block_size": block,
+                "mfcc_n_fft": n_fft,
+                "n_mels": 40,
+                "mfcc_ref_db": 0.0,
+            }
+        }
+    )
+    pc = cfg.preprocess
+    _, _, _, m = preprocess(
+        wav,
+        sample_rate=sr,
+        block_size=block,
+        signal_length=siglen,
+        n_mfcc=pc.n_mfcc,
+        mfcc_n_fft=pc.mfcc_n_fft,
+        mfcc_fmin=pc.mfcc_fmin,
+        mfcc_fmax=pc.mfcc_fmax,
+        n_mels=pc.n_mels,
+        mfcc_ref_db=pc.mfcc_ref_db,
+    )
+    cached = m[0, :-1]  # the F frames the Dataset serves (data.py:25 parity)
+
+    sm = make_streaming_mfcc(cfg, batch=1)
+    assert sm.hop == block and sm.n_fft == n_fft and sm.ref_db == 0.0
+    got = np.concatenate(
+        [sm.push(x[None, k * block : (k + 1) * block])
+         for k in range(siglen // block)],
+        axis=1,
+    )
+    np.testing.assert_allclose(got[0], cached, atol=2e-4)
+
+
 @pytest.fixture(scope="module")
 def ae_setup():
     cfg = Config.from_dict(
