@@ -91,6 +91,9 @@ def make_synthetic_dataset(
     block_size: int = 256,
     n_harmonic: int = 8,
     n_mfcc: int = 30,
+    mfcc_n_fft: int = 1024,
+    n_mels: int = 128,
+    mfcc_ref_db: float | None = None,
     seed: int = 0,
     partitions=("train", "validation"),
     instrument: str = "tone",
@@ -156,8 +159,10 @@ def make_synthetic_dataset(
                     jnp.asarray(audio[None]),
                     sample_rate,
                     n_mfcc=n_mfcc,
-                    n_fft=1024,
+                    n_fft=mfcc_n_fft,
                     hop_length=block_size,
+                    n_mels=n_mels,
+                    ref_db=mfcc_ref_db,
                 )
             )[0].astype(np.float32)
             sigs.append(audio)

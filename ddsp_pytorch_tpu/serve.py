@@ -8,11 +8,21 @@ carry + oscillator phase) lives server-side per connection.
 
 Wire protocol (little-endian):
   hello:    server → client: magic b'DDSP', uint32 sample_rate,
-            uint32 block_size
+            uint32 block_size, uint32 flags (bit 0: session also streams
+            input audio — mfcc-autoencoder bundles)
   request:  client → server: uint32 n (samples, multiple of block_size),
-            n float32 pitch, n float32 loudness
+            n float32 pitch, n float32 loudness[, n float32 audio when
+            flags bit 0 is set]
   response: server → client: uint32 n, n float32 audio
   n == 0 from the client closes the session.
+
+Autoencoder sessions (flags bit 0): the server runs a per-connection causal
+MFCC extractor (ops/spectral.py StreamingMFCC) over the client's audio and
+answers with ONE block of output latency — the first response leads with a
+silent block — because MFCC frame 0's reflect pad needs one sample beyond
+block 0.  That keeps the MFCC↔audio alignment identical to training (no
+feature time-shift), and still undercuts the reference's own realtime
+budget of TWO blocks of pipeline latency (ddsp_tilde.cpp:7,87).
 
 One thread per connection; each connection holds its own StreamState and
 session counter, all sharing ONE compiled step function (one XLA compile
@@ -72,9 +82,18 @@ class StreamServer:
         port: int = 0,
         voices: int = 1,
     ):
+        from ddsp_pytorch_tpu.config import Config as _Config
         from ddsp_pytorch_tpu.export import make_streaming_synth
+        from os import path as _path
 
         self._bundle_dir = bundle_dir
+        cfg = _Config.from_yaml(_path.join(bundle_dir, "config.yaml"))
+        self._needs_audio = cfg.model.name == "mfcc-autoencoder"
+        if self._needs_audio and voices > 1:
+            raise ValueError(
+                "VoicePool serving is decoder-only for now; "
+                "mfcc-autoencoder bundles serve with voices=1"
+            )
         # ONE compiled step shared by every session (per-connection state);
         # make_streaming_synth is the single bundle→synth constructor (the
         # same one the C++ runtime instantiates).
@@ -116,7 +135,13 @@ class StreamServer:
                 if slot is None:  # pool full: close without a hello
                     return
             conn.sendall(
-                MAGIC + struct.pack("<II", self.sample_rate, self.block_size)
+                MAGIC
+                + struct.pack(
+                    "<III",
+                    self.sample_rate,
+                    self.block_size,
+                    1 if self._needs_audio else 0,
+                )
             )
             if self._pool is None:
                 with self._lock:
@@ -126,6 +151,17 @@ class StreamServer:
                     seed = self._session_seed
                     self._session_seed += 1
                     state = self._synth.fresh_state(seed=seed)
+            if self._needs_audio:
+                from ddsp_pytorch_tpu.export import make_streaming_mfcc
+
+                extractor = make_streaming_mfcc(self._bundle_dir)
+                # one block of output latency (module docstring): the out
+                # FIFO starts with a silent block, and per-block MFCC
+                # frames/controls queue until renderable
+                frame_fifo = np.zeros((0, extractor.n_mfcc), np.float32)
+                ctrl_fifo = np.zeros((0, 2), np.float32)  # (f0, loudness)
+                out_fifo = np.zeros(self.block_size, np.float32)
+            n_ch = 3 if self._needs_audio else 2
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
                 if head is None:
@@ -136,11 +172,46 @@ class StreamServer:
                 if n % self.block_size != 0:
                     conn.sendall(struct.pack("<I", 0))
                     return
-                payload = _recv_exact(conn, 8 * n)
+                payload = _recv_exact(conn, 4 * n_ch * n)
                 if payload is None:
                     return
                 data = np.frombuffer(payload, np.float32)
-                pitch, loud = data[:n], data[n:]
+                pitch, loud = data[:n], data[n : 2 * n]
+                if self._needs_audio:
+                    frames = extractor.push(data[2 * n :][None])[0]
+                    frame_fifo = np.concatenate([frame_fifo, frames])
+                    ctrl_fifo = np.concatenate(
+                        [
+                            ctrl_fifo,
+                            np.stack(
+                                [
+                                    pitch[:: self.block_size],
+                                    loud[:: self.block_size],
+                                ],
+                                axis=1,
+                            ),
+                        ]
+                    )
+                    r = min(len(frame_fifo), len(ctrl_fifo))
+                    if r:
+                        with self._lock:
+                            audio_dev, state = self._synth.step_stateless(
+                                state,
+                                ctrl_fifo[None, :r, :1],
+                                ctrl_fifo[None, :r, 1:],
+                                mfcc_frames=frame_fifo[None, :r],
+                            )
+                        frame_fifo = frame_fifo[r:]
+                        ctrl_fifo = ctrl_fifo[r:]
+                        out_fifo = np.concatenate(
+                            [out_fifo, np.asarray(audio_dev)[0]]
+                        )
+                    audio, out_fifo = out_fifo[:n], out_fifo[n:]
+                    conn.sendall(
+                        struct.pack("<I", n)
+                        + audio.astype(np.float32).tobytes()
+                    )
+                    continue
                 if self._pool is not None:
                     pending = _Pending(
                         slot,
@@ -258,17 +329,31 @@ class StreamClient:
 
     def __init__(self, host: str, port: int):
         self._sock = socket.create_connection((host, port))
-        hello = _recv_exact(self._sock, 4 + 8)
+        hello = _recv_exact(self._sock, 4 + 12)
         assert hello is not None and hello[:4] == MAGIC, "bad server hello"
-        self.sample_rate, self.block_size = struct.unpack("<II", hello[4:])
+        self.sample_rate, self.block_size, flags = struct.unpack(
+            "<III", hello[4:]
+        )
+        # bit 0: autoencoder session — render() must also stream the input
+        # audio (the timbre-transfer source) for server-side causal MFCCs
+        self.needs_audio = bool(flags & 1)
 
-    def render(self, pitch: np.ndarray, loudness: np.ndarray) -> np.ndarray:
+    def render(
+        self,
+        pitch: np.ndarray,
+        loudness: np.ndarray,
+        audio: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         pitch = np.ascontiguousarray(pitch, np.float32)
         loudness = np.ascontiguousarray(loudness, np.float32)
         n = len(pitch)
-        self._sock.sendall(
-            struct.pack("<I", n) + pitch.tobytes() + loudness.tobytes()
-        )
+        payload = pitch.tobytes() + loudness.tobytes()
+        if self.needs_audio:
+            assert audio is not None and len(audio) == n, (
+                "autoencoder session: pass n input-audio samples"
+            )
+            payload += np.ascontiguousarray(audio, np.float32).tobytes()
+        self._sock.sendall(struct.pack("<I", n) + payload)
         head = _recv_exact(self._sock, 4)
         assert head is not None, "server closed"
         (m,) = struct.unpack("<I", head)

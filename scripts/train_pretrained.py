@@ -30,6 +30,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--instrument", default="violin",
                    choices=["violin", "sax", "flute"])
+    p.add_argument("--model", default="single-inst-decoder",
+                   choices=["single-inst-decoder", "mfcc-autoencoder"])
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--n-items", type=int, default=24)
     p.add_argument("--batch", type=int, default=8)
@@ -50,7 +52,14 @@ def main():
     from ddsp_pytorch_tpu.training import Trainer
 
     sr, block, sl = 48000, 512, 192000
-    cache = os.path.join(args.root, f"cache_{args.instrument}")
+    autoencoder = args.model == "mfcc-autoencoder"
+    # Autoencoder bundles stream live (docs/usage.md): their MFCCs must use
+    # the causal fixed-ref dB floor, so they get their own feature cache.
+    mfcc_ref_db = 0.0 if autoencoder else None
+    cache = os.path.join(
+        args.root,
+        f"cache_{args.instrument}" + ("_ae" if autoencoder else ""),
+    )
     if not os.path.exists(cache):
         print(f"rendering {args.n_items}x2 synthetic {args.instrument} notes...")
         make_synthetic_dataset(
@@ -61,6 +70,7 @@ def main():
             block_size=block,
             n_harmonic=48,
             instrument=args.instrument,
+            mfcc_ref_db=mfcc_ref_db,
             # deterministic per-instrument seed: str hash() is salted per
             # process (PYTHONHASHSEED), which would make the committed
             # bundles' training corpus unreproducible
@@ -74,9 +84,10 @@ def main():
                 "signal_length": sl,
                 "block_size": block,
                 "out_dir": cache,
+                "mfcc_ref_db": mfcc_ref_db,
             },
             "model": {
-                "name": "single-inst-decoder",
+                "name": args.model,
                 "kwargs": {
                     "hidden_size": 512,
                     "n_harmonic": 64,
@@ -100,7 +111,8 @@ def main():
         }
     )
 
-    run_dir = os.path.join(args.root, "runs", args.instrument)
+    tag = args.instrument + ("_ae" if autoencoder else "")
+    run_dir = os.path.join(args.root, "runs", tag)
     dm = Datamodule(cfg, device_cache=True)
     dm.setup()
     trainer = Trainer(cfg, run_dir, use_tensorboard=False)
@@ -117,6 +129,7 @@ def main():
                 losses.append(rec["value"])
     traj = {
         "instrument": args.instrument,
+        "model": args.model,
         "steps": len(losses),
         "loss_first10_mean": sum(losses[:10]) / max(len(losses[:10]), 1),
         "loss_last10_mean": sum(losses[-10:]) / max(len(losses[-10:]), 1),
@@ -125,8 +138,8 @@ def main():
     print(json.dumps({k: traj[k] for k in list(traj)[:4]}, indent=2))
 
     os.makedirs(args.out, exist_ok=True)
-    bundle = export_run(run_dir, args.out, name=args.instrument)
-    with open(os.path.join(args.out, f"{args.instrument}_loss.json"), "w") as f:
+    bundle = export_run(run_dir, args.out, name=tag)
+    with open(os.path.join(args.out, f"{tag}_loss.json"), "w") as f:
         json.dump(traj, f, indent=2)
     print(f"bundle: {bundle}")
 

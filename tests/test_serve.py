@@ -121,3 +121,125 @@ def test_stream_server_voice_pool(tmp_path):
         c3.close()
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_stream_server_autoencoder(tmp_path):
+    """Autoencoder serving: the hello advertises the audio channel, the
+    server extracts causal MFCCs per connection, and the stream equals the
+    library path (StreamingMFCC + StreamingSynth) with exactly one block of
+    output latency (first block silent)."""
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.export import (
+        export_run,
+        make_streaming_mfcc,
+        make_streaming_synth,
+    )
+    from ddsp_pytorch_tpu.serve import StreamClient, StreamServer
+    from ddsp_pytorch_tpu.training import Trainer
+
+    sr, block, n_fft = 16000, 128, 256
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(
+        cache, n_items=2, sample_rate=sr, signal_length=4096,
+        block_size=block, n_harmonic=4, mfcc_n_fft=n_fft, n_mels=40,
+        mfcc_ref_db=0.0,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": sr,
+                "signal_length": 4096,
+                "block_size": block,
+                "out_dir": cache,
+                "mfcc_n_fft": n_fft,
+                "n_mels": 40,
+                "mfcc_ref_db": 0.0,
+            },
+            "model": {
+                "name": "mfcc-autoencoder",
+                "kwargs": {
+                    "hidden_size": 32,
+                    "n_harmonic": 4,
+                    "n_bands": 9,
+                    "sample_rate": sr,
+                    "block_size": block,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256, 128], "batch": 2, "steps": 2,
+                      "checkpoint_every_steps": 2},
+        }
+    )
+    run_dir = os.path.join(tmp_path, "run")
+    dm = Datamodule(cfg)
+    dm.setup()
+    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
+    trainer.fit(dm)
+    trainer.close()
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="ae")
+
+    # decoder-only pooling is the only pool mode
+    with pytest.raises(ValueError, match="decoder-only"):
+        StreamServer(bundle, port=0, voices=2)
+
+    server = StreamServer(bundle, port=0)
+    server.start()
+    host, port = server.address
+    try:
+        client = StreamClient(host, port)
+        assert client.needs_audio
+        rng = np.random.default_rng(0)
+        t = np.arange(4 * block) / sr
+        audio_in = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pitch = np.full(4 * block, 220.0, np.float32)
+        loud = np.zeros(4 * block, np.float32)
+
+        # 4 single-block requests (the realtime shape)
+        got = [
+            client.render(
+                pitch[k * block : (k + 1) * block],
+                loud[k * block : (k + 1) * block],
+                audio_in[k * block : (k + 1) * block],
+            )
+            for k in range(4)
+        ]
+        # missing audio channel is rejected client-side
+        with pytest.raises(AssertionError):
+            client.render(pitch[:block], loud[:block])
+        client.close()
+
+        # one block of latency: first answer is silence
+        np.testing.assert_array_equal(got[0], 0.0)
+
+        # library replication of the server's exact schedule: req2 renders
+        # frames {0,1} in one step, then one frame per request
+        sm = make_streaming_mfcc(bundle)
+        synth = make_streaming_synth(bundle)
+        state = synth.fresh_state(seed=0)
+        frames = [sm.push(audio_in[None, k * block : (k + 1) * block])
+                  for k in range(4)]
+        f01 = frames[1]  # (1, 2, n_mfcc): blocks 0+1 release together
+        expect = []
+        a, state = synth.step_stateless(
+            state,
+            pitch[None, :: block, None][:, :2] * 0 + 220.0,
+            loud[None, :: block, None][:, :2],
+            mfcc_frames=f01,
+        )
+        expect.append(np.asarray(a)[0])
+        for k in (2, 3):
+            a, state = synth.step_stateless(
+                state,
+                np.full((1, 1, 1), 220.0, np.float32),
+                np.zeros((1, 1, 1), np.float32),
+                mfcc_frames=frames[k],
+            )
+            expect.append(np.asarray(a)[0])
+        expect = np.concatenate(expect)  # blocks 0..3 rendered
+        served = np.concatenate(got[1:])  # blocks 0..2 (one-block latency)
+        np.testing.assert_allclose(served, expect[: 3 * block], atol=1e-4)
+    finally:
+        server.stop()
