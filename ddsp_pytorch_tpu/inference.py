@@ -71,6 +71,29 @@ def timbre_transfer(
     f0 = f0 * (2.0 ** octave_shift)
     loud = loud + loudness_shift
 
+    mfcc_frames = None
+    if config.model.name == "mfcc-autoencoder":
+        # z comes from the input audio's MFCCs, with the bundle's frozen
+        # feature geometry (and dB-floor reference) — exactly what the
+        # model saw in training (data/preprocess.py)
+        from ddsp_pytorch_tpu.ops.spectral import mfcc
+
+        pc = config.preprocess
+        frames = np.asarray(
+            mfcc(
+                jnp.asarray(audio[: len(f0) * block])[None],
+                sr,
+                n_mfcc=pc.n_mfcc,
+                n_fft=pc.mfcc_n_fft,
+                hop_length=block,
+                fmin=pc.mfcc_fmin,
+                fmax=pc.mfcc_fmax,
+                n_mels=pc.n_mels,
+                ref_db=pc.mfcc_ref_db,
+            )
+        )[:, : len(f0)]
+        mfcc_frames = frames
+
     synth = StreamingSynth(
         model,
         params,
@@ -79,7 +102,9 @@ def timbre_transfer(
         batch=1,
         seed=seed,
     )
-    out = np.asarray(synth.step(f0[None, :, None], loud[None, :, None]))[0]
+    out = np.asarray(
+        synth.step(f0[None, :, None], loud[None, :, None], mfcc_frames)
+    )[0]
 
     if include_reverb and "reverb" in params:
         from ddsp_pytorch_tpu.ops import fft_convolve

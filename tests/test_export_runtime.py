@@ -9,6 +9,55 @@ import pytest
 from ddsp_pytorch_tpu.config import Config
 
 
+def _train_tiny_ae(tmp_path, steps=2):
+    """Tiny mfcc-autoencoder run with a streamable MFCC geometry
+    (n_fft = 2*hop) and the fixed causal dB floor frozen into the config."""
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    sr, block, n_fft = 16000, 128, 256
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(
+        cache, n_items=2, sample_rate=sr, signal_length=4096,
+        block_size=block, n_harmonic=4, mfcc_n_fft=n_fft, n_mels=40,
+        mfcc_ref_db=0.0,
+    )
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": sr,
+                "signal_length": 4096,
+                "block_size": block,
+                "out_dir": cache,
+                "mfcc_n_fft": n_fft,
+                "n_mels": 40,
+                "mfcc_ref_db": 0.0,
+            },
+            "model": {
+                "name": "mfcc-autoencoder",
+                "kwargs": {
+                    "hidden_size": 32,
+                    "n_harmonic": 4,
+                    "n_bands": 9,
+                    "sample_rate": sr,
+                    "block_size": block,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {"scales": [256, 128], "batch": 2, "steps": steps,
+                      "checkpoint_every_steps": 2},
+        }
+    )
+    run_dir = os.path.join(tmp_path, "run")
+    dm = Datamodule(cfg)
+    dm.setup()
+    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
+    trainer.fit(dm)
+    trainer.close()
+    return run_dir, cfg
+
+
 def _train_tiny(tmp_path, steps=4):
     from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
     from ddsp_pytorch_tpu.training import Trainer

@@ -48,3 +48,26 @@ def test_timbre_transfer_end_to_end(tmp_path):
     out2 = timbre_transfer(bundle, x, sr, octave_shift=1.0, include_reverb=False)
     f0_out2 = np.asarray(extract_pitch(out2, sr, block))[8:-8]
     np.testing.assert_allclose(np.median(f0_out2), 440.0, rtol=0.03)
+
+
+@pytest.mark.slow
+def test_timbre_transfer_autoencoder(tmp_path):
+    """Autoencoder bundles re-render too: z comes from the input audio's
+    MFCCs under the bundle's frozen feature geometry."""
+    from tests.test_export_runtime import _train_tiny_ae
+
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.ops import extract_pitch
+
+    run_dir, cfg = _train_tiny_ae(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="tae")
+
+    sr, block = 16000, 128
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    out = timbre_transfer(bundle, x, sr, include_reverb=False)
+    f = len(x) // block
+    assert out.shape == (f * block,)
+    assert np.all(np.isfinite(out))
+    f0_out = np.asarray(extract_pitch(out, sr, block))[8:-8]
+    np.testing.assert_allclose(np.median(f0_out), 220.0, rtol=0.03)

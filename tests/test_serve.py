@@ -129,56 +129,17 @@ def test_stream_server_autoencoder(tmp_path):
     server extracts causal MFCCs per connection, and the stream equals the
     library path (StreamingMFCC + StreamingSynth) with exactly one block of
     output latency (first block silent)."""
-    from ddsp_pytorch_tpu.config import Config
-    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from tests.test_export_runtime import _train_tiny_ae
+
     from ddsp_pytorch_tpu.export import (
         export_run,
         make_streaming_mfcc,
         make_streaming_synth,
     )
     from ddsp_pytorch_tpu.serve import StreamClient, StreamServer
-    from ddsp_pytorch_tpu.training import Trainer
 
-    sr, block, n_fft = 16000, 128, 256
-    cache = os.path.join(tmp_path, "cache")
-    make_synthetic_dataset(
-        cache, n_items=2, sample_rate=sr, signal_length=4096,
-        block_size=block, n_harmonic=4, mfcc_n_fft=n_fft, n_mels=40,
-        mfcc_ref_db=0.0,
-    )
-    cfg = Config.from_dict(
-        {
-            "preprocess": {
-                "sample_rate": sr,
-                "signal_length": 4096,
-                "block_size": block,
-                "out_dir": cache,
-                "mfcc_n_fft": n_fft,
-                "n_mels": 40,
-                "mfcc_ref_db": 0.0,
-            },
-            "model": {
-                "name": "mfcc-autoencoder",
-                "kwargs": {
-                    "hidden_size": 32,
-                    "n_harmonic": 4,
-                    "n_bands": 9,
-                    "sample_rate": sr,
-                    "block_size": block,
-                    "has_reverb": False,
-                    "use_pallas": "never",
-                },
-            },
-            "train": {"scales": [256, 128], "batch": 2, "steps": 2,
-                      "checkpoint_every_steps": 2},
-        }
-    )
-    run_dir = os.path.join(tmp_path, "run")
-    dm = Datamodule(cfg)
-    dm.setup()
-    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
-    trainer.fit(dm)
-    trainer.close()
+    sr, block = 16000, 128
+    run_dir, cfg = _train_tiny_ae(tmp_path)
     bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="ae")
 
     # decoder-only pooling is the only pool mode
