@@ -132,6 +132,24 @@ def make_streaming_synth(bundle_dir: str, batch: int = 1, **kwargs):
     )
 
 
+def make_stream_session(bundle_dir: str, seed: int = 0, **kwargs):
+    """Bundle → a sample-rate streaming session for any model family.
+
+    Decoder bundles return the StreamingSynth itself (needs_audio=False,
+    `step_samples(pitch, loudness)`); mfcc-autoencoder bundles return an
+    AutoencoderStreamSession (needs_audio=True, `step_samples(pitch,
+    loudness, audio)` with one block of output latency).  This is the
+    single constructor the C++ host loads (runtime/ddsp_model.cpp)."""
+    from ddsp_pytorch_tpu.streaming import AutoencoderStreamSession
+
+    synth = make_streaming_synth(bundle_dir, seed=seed, **kwargs)
+    if not getattr(synth, "_autoencoder", False):
+        return synth
+    return AutoencoderStreamSession(
+        synth, make_streaming_mfcc(bundle_dir), seed=seed
+    )
+
+
 def make_streaming_mfcc(bundle_dir_or_config, batch: int = 1):
     """Bundle (or Config) → causal StreamingMFCC matching the bundle's
     preprocess geometry — the live feature extractor for streaming the

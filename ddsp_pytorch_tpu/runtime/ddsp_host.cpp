@@ -28,14 +28,32 @@ namespace {
 
 struct RenderCtx {
   ddsp_model *model;
+  bool needs_audio = false;  // mfcc-autoencoder bundle
+  long pos = 0;              // sample counter for the synthetic input feed
+  int sr = 48000;
+  std::vector<float> audio_in;
 };
 
 void render_cb(const float *pitch, const float *loudness, float *out, int n,
                void *ctx) {
   auto *rc = static_cast<RenderCtx *>(ctx);
-  if (ddsp_model_perform(rc->model, pitch, loudness, out, n) != 0) {
-    std::memset(out, 0, n * sizeof(float));
+  int err;
+  if (rc->needs_audio) {
+    // Stand-in for the live input feed (mic / DAW bus): a 220 Hz tone.
+    // Blocks arrive in order on the engine's single worker thread, so the
+    // position counter needs no synchronization.
+    rc->audio_in.resize(n);
+    for (int i = 0; i < n; ++i) {
+      double t = (double)(rc->pos + i) / rc->sr;
+      rc->audio_in[i] = 0.5f * (float)std::sin(2.0 * M_PI * 220.0 * t);
+    }
+    rc->pos += n;
+    err = ddsp_model_perform_audio(rc->model, pitch, loudness,
+                                   rc->audio_in.data(), out, n);
+  } else {
+    err = ddsp_model_perform(rc->model, pitch, loudness, out, n);
   }
+  if (err != 0) std::memset(out, 0, n * sizeof(float));
 }
 
 void write_wav(const char *path, const std::vector<float> &audio, int sr) {
@@ -86,15 +104,25 @@ int main(int argc, char **argv) {
   if (!model) return 1;
   const int sr = ddsp_model_sample_rate(model);
   const int block = ddsp_model_block_size(model);
-  std::printf("loaded bundle: sr=%d block=%d\n", sr, block);
+  const bool needs_audio = ddsp_model_needs_audio(model) == 1;
+  std::printf("loaded bundle: sr=%d block=%d%s\n", sr, block,
+              needs_audio ? " (mfcc-autoencoder: audio channel on)" : "");
 
   // Warm the XLA compile outside the timed loop (first call compiles).
   {
     std::vector<float> p(block, 220.f), l(block, 0.f), o(block, 0.f);
-    ddsp_model_perform(model, p.data(), l.data(), o.data(), block);
+    if (needs_audio) {
+      std::vector<float> a(block, 0.f);
+      ddsp_model_perform_audio(model, p.data(), l.data(), a.data(), o.data(),
+                               block);
+    } else {
+      ddsp_model_perform(model, p.data(), l.data(), o.data(), block);
+    }
   }
 
   RenderCtx ctx{model};
+  ctx.needs_audio = needs_audio;
+  ctx.sr = sr;
   ddsp_stream_engine *eng = ddsp_stream_create(block, render_cb, &ctx);
 
   const long total = (long)(seconds * sr) / tick * tick;

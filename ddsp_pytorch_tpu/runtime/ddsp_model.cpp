@@ -5,6 +5,7 @@
 #include <Python.h>
 
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 
@@ -18,10 +19,11 @@ void print_py_error(const char *where) {
 }
 
 struct Model {
-  PyObject *synth = nullptr;       // StreamingSynth instance
+  PyObject *synth = nullptr;       // stream session (export.make_stream_session)
   PyObject *step_fn = nullptr;     // bound step_samples
   int block_size = -1;
   int sample_rate = -1;
+  bool needs_audio = false;        // mfcc-autoencoder session
 };
 
 }  // namespace
@@ -41,6 +43,17 @@ int ddsp_runtime_init(const char *extra_sys_path) {
     PyObject *p = PyUnicode_FromString(extra_sys_path);
     if (sys_path && p) PyList_Insert(sys_path, 0, p);
     Py_XDECREF(p);
+  }
+  // DDSP_PLATFORM=cpu|tpu|... selects the JAX backend before first backend
+  // init.  (A plain JAX_PLATFORMS env var can be overridden by a
+  // sitecustomize jax.config.update; doing the config.update here wins.)
+  if (const char *plat = std::getenv("DDSP_PLATFORM")) {
+    std::string code = "import jax; jax.config.update('jax_platforms', '";
+    code += plat;
+    code += "')";
+    if (PyRun_SimpleString(code.c_str()) != 0) {
+      std::fprintf(stderr, "[ddsp_model] DDSP_PLATFORM=%s failed\n", plat);
+    }
   }
   g_initialized = true;
   PyGILState_Release(gil);
@@ -65,7 +78,7 @@ ddsp_model *ddsp_model_load(const char *bundle_dir) {
 
   mod = PyImport_ImportModule("ddsp_pytorch_tpu.export");
   if (!mod) goto fail;
-  fn = PyObject_GetAttrString(mod, "make_streaming_synth");
+  fn = PyObject_GetAttrString(mod, "make_stream_session");
   if (!fn) goto fail;
   synth = PyObject_CallFunction(fn, "s", bundle_dir);
   if (!synth) goto fail;
@@ -76,10 +89,13 @@ ddsp_model *ddsp_model_load(const char *bundle_dir) {
   {
     PyObject *bs = PyObject_GetAttrString(synth, "block_size");
     PyObject *sr = PyObject_GetAttrString(synth, "sample_rate");
+    PyObject *na = PyObject_GetAttrString(synth, "needs_audio");
     if (bs) m->block_size = (int)PyLong_AsLong(bs);
     if (sr) m->sample_rate = (int)PyLong_AsLong(sr);
+    if (na) m->needs_audio = PyObject_IsTrue(na) == 1;
     Py_XDECREF(bs);
     Py_XDECREF(sr);
+    Py_XDECREF(na);
   }
   Py_XDECREF(fn);
   Py_XDECREF(mod);
@@ -106,19 +122,20 @@ void ddsp_model_free(ddsp_model *model) {
   delete m;
 }
 
-int ddsp_model_perform(ddsp_model *model, const float *pitch,
-                       const float *loudness, float *out, int n) {
-  auto *m = reinterpret_cast<Model *>(model);
-  if (!m || n <= 0 || (m->block_size > 0 && n % m->block_size != 0)) return -1;
+namespace {
 
+// Shared perform path; audio_in may be NULL (decoder sessions).
+int perform_impl(Model *m, const float *pitch, const float *loudness,
+                 const float *audio_in, float *out, int n) {
   PyGILState_STATE gil = PyGILState_Ensure();
   int rc = -1;
   // Build (1, n) float32 memoryview-backed arrays via numpy frombuffer to
   // avoid a dependency on the numpy C API headers.
   PyObject *np = nullptr, *frombuffer = nullptr;
-  PyObject *pitch_arr = nullptr, *loud_arr = nullptr, *result = nullptr;
-  PyObject *reshape_args = nullptr, *audio_np = nullptr, *astype = nullptr;
-  PyObject *mv_pitch = nullptr, *mv_loud = nullptr, *tobytes = nullptr,
+  PyObject *pitch_arr = nullptr, *loud_arr = nullptr, *audio_arr = nullptr,
+           *result = nullptr;
+  PyObject *audio_np = nullptr;
+  PyObject *mv_pitch = nullptr, *mv_loud = nullptr, *mv_audio = nullptr,
            *bytes_obj = nullptr;
 
   np = PyImport_ImportModule("numpy");
@@ -137,18 +154,35 @@ int ddsp_model_perform(ddsp_model *model, const float *pitch,
   pitch_arr = PyObject_CallFunction(frombuffer, "Os", mv_pitch, "float32");
   loud_arr = PyObject_CallFunction(frombuffer, "Os", mv_loud, "float32");
   if (!pitch_arr || !loud_arr) goto done;
+  if (audio_in) {
+    mv_audio = PyMemoryView_FromMemory(
+        reinterpret_cast<char *>(const_cast<float *>(audio_in)),
+        n * sizeof(float), PyBUF_READ);
+    if (!mv_audio) goto done;
+    audio_arr = PyObject_CallFunction(frombuffer, "Os", mv_audio, "float32");
+    if (!audio_arr) goto done;
+  }
 
   {
     PyObject *shaped_p = PyObject_CallMethod(pitch_arr, "reshape", "ii", 1, n);
     PyObject *shaped_l = PyObject_CallMethod(loud_arr, "reshape", "ii", 1, n);
-    if (!shaped_p || !shaped_l) {
+    PyObject *shaped_a =
+        audio_arr ? PyObject_CallMethod(audio_arr, "reshape", "ii", 1, n)
+                  : nullptr;
+    if (!shaped_p || !shaped_l || (audio_arr && !shaped_a)) {
       Py_XDECREF(shaped_p);
       Py_XDECREF(shaped_l);
+      Py_XDECREF(shaped_a);
       goto done;
     }
-    result = PyObject_CallFunctionObjArgs(m->step_fn, shaped_p, shaped_l, NULL);
+    result = shaped_a
+                 ? PyObject_CallFunctionObjArgs(m->step_fn, shaped_p, shaped_l,
+                                                shaped_a, NULL)
+                 : PyObject_CallFunctionObjArgs(m->step_fn, shaped_p, shaped_l,
+                                                NULL);
     Py_DECREF(shaped_p);
     Py_DECREF(shaped_l);
+    Py_XDECREF(shaped_a);
   }
   if (!result) goto done;
 
@@ -173,12 +207,45 @@ done:
   Py_XDECREF(result);
   Py_XDECREF(pitch_arr);
   Py_XDECREF(loud_arr);
+  Py_XDECREF(audio_arr);
   Py_XDECREF(mv_pitch);
   Py_XDECREF(mv_loud);
+  Py_XDECREF(mv_audio);
   Py_XDECREF(frombuffer);
   Py_XDECREF(np);
   PyGILState_Release(gil);
   return rc;
+}
+
+}  // namespace
+
+int ddsp_model_perform(ddsp_model *model, const float *pitch,
+                       const float *loudness, float *out, int n) {
+  auto *m = reinterpret_cast<Model *>(model);
+  if (!m || n <= 0 || (m->block_size > 0 && n % m->block_size != 0)) return -1;
+  if (m->needs_audio) {
+    std::fprintf(stderr,
+                 "[ddsp_model] mfcc-autoencoder bundle: use "
+                 "ddsp_model_perform_audio\n");
+    return -1;
+  }
+  return perform_impl(m, pitch, loudness, nullptr, out, n);
+}
+
+int ddsp_model_perform_audio(ddsp_model *model, const float *pitch,
+                             const float *loudness, const float *audio,
+                             float *out, int n) {
+  auto *m = reinterpret_cast<Model *>(model);
+  if (!m || n <= 0 || (m->block_size > 0 && n % m->block_size != 0)) return -1;
+  if (!m->needs_audio)  // decoder sessions ignore the audio channel
+    return perform_impl(m, pitch, loudness, nullptr, out, n);
+  if (!audio) return -1;
+  return perform_impl(m, pitch, loudness, audio, out, n);
+}
+
+int ddsp_model_needs_audio(const ddsp_model *model) {
+  auto *m = reinterpret_cast<const Model *>(model);
+  return m ? (m->needs_audio ? 1 : 0) : -1;
 }
 
 int ddsp_model_block_size(const ddsp_model *model) {

@@ -34,9 +34,23 @@ ddsp_model *ddsp_model_load(const char *bundle_dir);
 void ddsp_model_free(ddsp_model *model);
 
 /* Render n samples: pitch (Hz) + loudness in, audio out.  n must be a
- * multiple of the model's block_size.  Returns 0 on success. */
+ * multiple of the model's block_size.  Returns 0 on success.  Fails for
+ * mfcc-autoencoder bundles (they need the input-audio channel — use
+ * ddsp_model_perform_audio). */
 int ddsp_model_perform(ddsp_model *model, const float *pitch,
                        const float *loudness, float *out, int n);
+
+/* Render n samples with an input-audio channel (mfcc-autoencoder bundles:
+ * the server-side causal MFCC feature source; output lags ONE block — the
+ * first block returned is silence).  For decoder bundles the audio channel
+ * is ignored and this behaves like ddsp_model_perform. */
+int ddsp_model_perform_audio(ddsp_model *model, const float *pitch,
+                             const float *loudness, const float *audio,
+                             float *out, int n);
+
+/* 1 if the loaded bundle consumes input audio (mfcc-autoencoder), 0 for
+ * decoder bundles, -1 on a NULL model. */
+int ddsp_model_needs_audio(const ddsp_model *model);
 
 /* Model block size in samples (frame hop), or -1. */
 int ddsp_model_block_size(const ddsp_model *model);

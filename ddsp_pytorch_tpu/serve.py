@@ -153,14 +153,18 @@ class StreamServer:
                     state = self._synth.fresh_state(seed=seed)
             if self._needs_audio:
                 from ddsp_pytorch_tpu.export import make_streaming_mfcc
+                from ddsp_pytorch_tpu.streaming import (
+                    AutoencoderStreamSession,
+                )
 
-                extractor = make_streaming_mfcc(self._bundle_dir)
-                # one block of output latency (module docstring): the out
-                # FIFO starts with a silent block, and per-block MFCC
-                # frames/controls queue until renderable
-                frame_fifo = np.zeros((0, extractor.n_mfcc), np.float32)
-                ctrl_fifo = np.zeros((0, 2), np.float32)  # (f0, loudness)
-                out_fifo = np.zeros(self.block_size, np.float32)
+                # per-connection causal extractor + one-block-latency FIFOs
+                # (AutoencoderStreamSession docstring), sharing the server's
+                # one compiled synth
+                session = AutoencoderStreamSession(
+                    self._synth,
+                    make_streaming_mfcc(self._bundle_dir),
+                    seed=seed,
+                )
             n_ch = 3 if self._needs_audio else 2
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
@@ -178,35 +182,10 @@ class StreamServer:
                 data = np.frombuffer(payload, np.float32)
                 pitch, loud = data[:n], data[n : 2 * n]
                 if self._needs_audio:
-                    frames = extractor.push(data[2 * n :][None])[0]
-                    frame_fifo = np.concatenate([frame_fifo, frames])
-                    ctrl_fifo = np.concatenate(
-                        [
-                            ctrl_fifo,
-                            np.stack(
-                                [
-                                    pitch[:: self.block_size],
-                                    loud[:: self.block_size],
-                                ],
-                                axis=1,
-                            ),
-                        ]
-                    )
-                    r = min(len(frame_fifo), len(ctrl_fifo))
-                    if r:
-                        with self._lock:
-                            audio_dev, state = self._synth.step_stateless(
-                                state,
-                                ctrl_fifo[None, :r, :1],
-                                ctrl_fifo[None, :r, 1:],
-                                mfcc_frames=frame_fifo[None, :r],
-                            )
-                        frame_fifo = frame_fifo[r:]
-                        ctrl_fifo = ctrl_fifo[r:]
-                        out_fifo = np.concatenate(
-                            [out_fifo, np.asarray(audio_dev)[0]]
+                    with self._lock:
+                        audio = session.step_samples(
+                            pitch, loud, data[2 * n :]
                         )
-                    audio, out_fifo = out_fifo[:n], out_fifo[n:]
                     conn.sendall(
                         struct.pack("<I", n)
                         + audio.astype(np.float32).tobytes()

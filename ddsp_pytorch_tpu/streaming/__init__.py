@@ -71,6 +71,8 @@ class StreamingSynth:
     a capability the reference delegates to Pd's partconv~.
     """
 
+    needs_audio = False  # AutoencoderStreamSession overrides
+
     def __init__(
         self,
         model,
@@ -285,3 +287,69 @@ class StreamingSynth:
         f0 = pitch[:, :: self.block_size, None]
         loud = loudness[:, :: self.block_size, None]
         return self.step(f0, loud)
+
+
+class AutoencoderStreamSession:
+    """Sample-rate streaming session for mfcc-autoencoder bundles.
+
+    Wraps a (shared) StreamingSynth + a per-session causal MFCC extractor
+    behind the same sample-rate wire contract the decoder's `step_samples`
+    has, with exactly ONE block of output latency: MFCC frame 0's reflect
+    pad needs one sample beyond block 0 (ops/spectral.py StreamingMFCC), so
+    the out-FIFO is primed with a silent block and every response is the
+    previous block's render.  Still half the reference's own two-block
+    double-buffer latency (ddsp_tilde.cpp:7,87) — and the reference cannot
+    stream its autoencoder at all (encoder.py:29-141 has no realtime path).
+
+    Used by serve.py autoencoder sessions and the C++ host
+    (ddsp_model_perform_audio).  Not thread-safe; callers serialize.
+    """
+
+    needs_audio = True
+
+    def __init__(self, synth: StreamingSynth, extractor, seed: int = 0):
+        self.synth = synth
+        self.block_size = synth.block_size
+        self.sample_rate = synth.sample_rate
+        self._sm = extractor
+        self.state = synth.fresh_state(seed=seed)
+        self._frames = np.zeros((0, extractor.n_mfcc), np.float32)
+        self._ctrl = np.zeros((0, 2), np.float32)  # (f0, loudness) frames
+        self._out = np.zeros(self.block_size, np.float32)
+
+    def step_samples(self, pitch, loudness, audio) -> np.ndarray:
+        """(n,) sample-rate pitch/loudness/input-audio → (n,) output audio
+        (delayed one block); n must be a multiple of block_size."""
+        pitch = np.asarray(pitch, np.float32).reshape(-1)
+        loudness = np.asarray(loudness, np.float32).reshape(-1)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        n = len(pitch)
+        if n % self.block_size or len(loudness) != n or len(audio) != n:
+            raise ValueError(
+                f"need equal-length inputs, n % block_size({self.block_size})"
+                " == 0"
+            )
+        frames = self._sm.push(audio[None])[0]
+        self._frames = np.concatenate([self._frames, frames])
+        self._ctrl = np.concatenate(
+            [
+                self._ctrl,
+                np.stack(
+                    [pitch[:: self.block_size], loudness[:: self.block_size]],
+                    axis=1,
+                ),
+            ]
+        )
+        r = min(len(self._frames), len(self._ctrl))
+        if r:
+            audio_dev, self.state = self.synth.step_stateless(
+                self.state,
+                self._ctrl[None, :r, :1],
+                self._ctrl[None, :r, 1:],
+                mfcc_frames=self._frames[None, :r],
+            )
+            self._frames = self._frames[r:]
+            self._ctrl = self._ctrl[r:]
+            self._out = np.concatenate([self._out, np.asarray(audio_dev)[0]])
+        out, self._out = self._out[:n], self._out[n:]
+        return out

@@ -193,3 +193,75 @@ def test_stream_engine_rejects_bad_tick():
     with StreamEngine(64, lambda p, l: p) as eng:
         with pytest.raises(ValueError):
             eng.process(np.zeros(48, np.float32), np.zeros(48, np.float32))
+
+
+def _model_lib():
+    import ddsp_pytorch_tpu.runtime as rt
+
+    p = os.path.join(os.path.dirname(rt.__file__), "build", "libddsp_model.so")
+    return p if os.path.exists(p) else None
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(_model_lib() is None, reason="libddsp_model.so not built")
+def test_model_host_perform_audio(tmp_path):
+    """The embedded C host drives an mfcc-autoencoder bundle through
+    ddsp_model_perform_audio: needs_audio is advertised, the audio-less
+    perform is refused, and the rendered stream equals the Python session
+    (same bundle, same seed, same schedule) exactly."""
+    import ctypes
+
+    from ddsp_pytorch_tpu.export import export_run, make_stream_session
+
+    run_dir, cfg = _train_tiny_ae(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="ch")
+
+    lib = ctypes.CDLL(_model_lib())
+    lib.ddsp_runtime_init.argtypes = [ctypes.c_char_p]
+    lib.ddsp_model_load.restype = ctypes.c_void_p
+    lib.ddsp_model_load.argtypes = [ctypes.c_char_p]
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.ddsp_model_perform.argtypes = [ctypes.c_void_p, fp, fp, fp,
+                                       ctypes.c_int]
+    lib.ddsp_model_perform_audio.argtypes = [ctypes.c_void_p, fp, fp, fp, fp,
+                                             ctypes.c_int]
+    lib.ddsp_model_needs_audio.argtypes = [ctypes.c_void_p]
+    lib.ddsp_model_block_size.argtypes = [ctypes.c_void_p]
+    lib.ddsp_model_free.argtypes = [ctypes.c_void_p]
+
+    assert lib.ddsp_runtime_init(None) == 0
+    m = lib.ddsp_model_load(bundle.encode())
+    assert m, "embedded host failed to load the bundle"
+    try:
+        block = lib.ddsp_model_block_size(m)
+        assert block == cfg.preprocess.block_size
+        assert lib.ddsp_model_needs_audio(m) == 1
+
+        sr = cfg.preprocess.sample_rate
+        n = block
+        t = np.arange(4 * block) / sr
+        audio_in = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pitch = np.full(4 * block, 220.0, np.float32)
+        loud = np.zeros(4 * block, np.float32)
+
+        def ptr(a):
+            return a.ctypes.data_as(fp)
+
+        out = np.zeros(n, np.float32)
+        # audio-less perform is refused for autoencoder bundles
+        assert lib.ddsp_model_perform(m, ptr(pitch), ptr(loud), ptr(out),
+                                      n) != 0
+
+        session = make_stream_session(bundle)  # python twin, same seed 0
+        for k in range(4):
+            sl = slice(k * block, (k + 1) * block)
+            rc = lib.ddsp_model_perform_audio(
+                m, ptr(pitch[sl].copy()), ptr(loud[sl].copy()),
+                ptr(audio_in[sl].copy()), ptr(out), n)
+            assert rc == 0
+            expect = session.step_samples(pitch[sl], loud[sl], audio_in[sl])
+            if k == 0:
+                np.testing.assert_array_equal(out, 0.0)
+            np.testing.assert_allclose(out, expect, atol=1e-5)
+    finally:
+        lib.ddsp_model_free(m)
