@@ -95,6 +95,17 @@ class DDSPAutoencoder(nn.Module):
         noise_ctrls = self.noise_synth.get_controls(magnitudes)
         return harmonic_ctrls, noise_ctrls
 
+    def frame_controls(self, f0: jax.Array, loudness: jax.Array,
+                       mfcc: jax.Array):
+        """Frame-rate controls only (no synthesis): encoder + decoder +
+        projections — the NN stage of the long-form time-sharded path
+        (parallel/longform.py), mirroring DDSPDecoder.frame_controls.
+        Returns (harmonic_ctrls, noise_ctrls)."""
+        f0 = f0.astype(jnp.float32)
+        z = self.encoder(mfcc)
+        hidden = self.decoder(f0, loudness, z=z)
+        return self._controls(hidden, f0)
+
     def __call__(self, batch: Dict[str, jax.Array]) -> Dict[str, Any]:
         """batch: {'pitch', 'loudness', 'mfcc'} → output dict (adds 'z')."""
         f0 = batch["pitch"].astype(jnp.float32)

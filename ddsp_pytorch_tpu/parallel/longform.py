@@ -56,15 +56,32 @@ class LongFormSynthesizer:
         rep = NamedSharding(mesh, P())
         voices = NamedSharding(mesh, P("data"))
 
-        def controls_fn(params, f0, loudness):
+        from ddsp_pytorch_tpu.models.encoder import DDSPAutoencoder
+
+        # mfcc-autoencoder long-form: the encoder is frame-rate NN like the
+        # decoder, so it joins the data-parallel controls stage (z never
+        # needs the time axis sharded)
+        self._autoencoder = isinstance(model, DDSPAutoencoder)
+
+        def controls_fn(params, f0, loudness, mfcc=None):
             loudness = (loudness - self.mean_loudness) / self.std_loudness
+            if self._autoencoder:
+                return model.apply(
+                    {"params": params}, f0, loudness, mfcc,
+                    method=model.frame_controls,
+                )
             return model.apply(
                 {"params": params}, f0, loudness, method=model.frame_controls
             )
 
         # NN stage: voices data-parallel, frames replicated along 'time'.
         self._controls = jax.jit(
-            controls_fn, in_shardings=(rep, voices, voices)
+            controls_fn,
+            in_shardings=(
+                (rep, voices, voices, voices)
+                if self._autoencoder
+                else (rep, voices, voices)
+            ),
         )
 
         block, sr = self.block_size, self.sample_rate
@@ -124,11 +141,21 @@ class LongFormSynthesizer:
         )
 
     def synthesize(
-        self, f0, loudness, rng: Optional[jax.Array] = None
+        self, f0, loudness, mfcc=None, rng: Optional[jax.Array] = None
     ) -> jax.Array:
-        """f0, loudness (B, F, 1) → (B, F*block_size) sharded audio."""
+        """f0, loudness (B, F, 1) → (B, F*block_size) sharded audio.
+        mfcc (B, F, n_mfccs): required for mfcc-autoencoder models."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        harmonic_ctrls, noise_ctrls = self._controls(self.params, f0, loudness)
+        if self._autoencoder:
+            if mfcc is None:
+                raise ValueError("mfcc-autoencoder long-form: pass mfcc")
+            harmonic_ctrls, noise_ctrls = self._controls(
+                self.params, f0, loudness, mfcc
+            )
+        else:
+            harmonic_ctrls, noise_ctrls = self._controls(
+                self.params, f0, loudness
+            )
         amp = (
             harmonic_ctrls["harmonic_distribution"] * harmonic_ctrls["amplitudes"]
         )

@@ -99,3 +99,68 @@ def test_longform_output_is_sharded(setup):
     assert audio.shape == (4, 128 * 64)
     # the result must actually live sharded over the mesh
     assert len(audio.sharding.device_set) == 8
+
+
+def test_longform_autoencoder_matches_single_device():
+    """mfcc-autoencoder long-form: the encoder joins the data-parallel
+    controls stage and the time-sharded DSP output equals the unsharded
+    pipeline (no reference analogue: its autoencoder is offline-only)."""
+    from ddsp_pytorch_tpu.ops import (
+        filtered_noise,
+        harmonic_synth_frames,
+        mfcc as mfcc_op,
+    )
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": 16000, "signal_length": 8192,
+                           "block_size": 64, "mfcc_n_fft": 128,
+                           "n_mels": 40, "mfcc_ref_db": 0.0},
+            "model": {
+                "name": "mfcc-autoencoder",
+                "kwargs": {
+                    "hidden_size": 32,
+                    "n_harmonic": 8,
+                    "n_bands": 9,
+                    "sample_rate": 16000,
+                    "block_size": 64,
+                    "has_reverb": False,
+                    "use_pallas": "never",
+                },
+            },
+        }
+    )
+    model = load_model(cfg)
+    rng = np.random.default_rng(3)
+    b, f, block = 4, 128, 64
+    f0 = jnp.asarray(rng.uniform(150, 350, (b, f, 1)).astype(np.float32))
+    loud = jnp.asarray(rng.standard_normal((b, f, 1)).astype(np.float32))
+    sig = rng.standard_normal((b, f * block)).astype(np.float32) * 0.3
+    mf = mfcc_op(jnp.asarray(sig), 16000, n_fft=128, hop_length=block,
+                 n_mels=40, ref_db=0.0)[:, :f]
+    init_batch = {"sig": jnp.asarray(sig), "pitch": f0, "loudness": loud,
+                  "mfcc": mf}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        init_batch,
+    )["params"]
+
+    mesh = make_mesh(data=2, time=4)
+    lf = LongFormSynthesizer(model, params, mesh, use_pallas="never")
+    key = jax.random.PRNGKey(5)
+    with pytest.raises(ValueError, match="mfcc"):
+        lf.synthesize(f0, loud)
+    sharded_audio = lf.synthesize(f0, loud, mfcc=mf, rng=key)
+    assert len(sharded_audio.sharding.device_set) == 8
+
+    hc, nc = model.apply(
+        {"params": params}, f0, loud, mf, method=model.frame_controls
+    )
+    amp = hc["harmonic_distribution"] * hc["amplitudes"]
+    noise = jax.random.uniform(key, (b, f, block), jnp.float32) * 2.0 - 1.0
+    harm = harmonic_synth_frames(f0[..., 0], amp, block, 16000,
+                                 use_pallas="never")
+    noi = filtered_noise(nc["magnitudes"], block, None, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(sharded_audio), np.asarray(harm + noi), atol=2e-3
+    )
