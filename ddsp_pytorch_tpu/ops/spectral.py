@@ -294,10 +294,13 @@ class StreamingMFCC:
         self.n_fft = int(n_fft)
         self.hop = int(hop_length)
         self.ref_db = ref_db
-        self._fb = jnp.asarray(
-            mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
-        )
-        self._dct = jnp.asarray(dct_matrix(n_mfcc, n_mels))
+        # Host-side numpy throughout: this extractor runs per block on the
+        # serving/realtime host thread, where a jnp implementation would pay
+        # ~10 tiny device dispatches (plus a device→host pull) per push —
+        # through a remote-TPU tunnel that dwarfs the synth step itself.
+        self._fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+        self._dct = dct_matrix(n_mfcc, n_mels)
+        self._win = np.asarray(hann_window(self.n_fft), np.float32)
         self.reset()
 
     def reset(self) -> None:
@@ -334,19 +337,21 @@ class StreamingMFCC:
 
         # Same op sequence as offline mfcc(): per-frame window → rfft →
         # power → mel → dB floor → DCT (each frame independent, so the
-        # values are identical to the offline batch computation).
+        # values match the offline batch computation to f32 tolerance).
         seg = self._buf[:, : (n_avail - 1) * self.hop + self.n_fft]
-        frames = frame_signal(jnp.asarray(seg), self.n_fft, self.hop)
-        frames = frames * hann_window(self.n_fft, dtype=frames.dtype)
-        spec = jnp.swapaxes(jnp.fft.rfft(frames, axis=-1), -1, -2)
-        power = jnp.square(jnp.abs(spec))  # (B, bins, k)
-        mel = jnp.einsum("mf,...ft->...mt", self._fb, power)
-        mel_db = power_to_db(
-            mel, amin=1e-10, top_db=80.0 if self.ref_db is not None else None,
-            ref_db=self.ref_db,
+        idx = (
+            np.arange(n_avail)[:, None] * self.hop
+            + np.arange(self.n_fft)[None, :]
         )
-        out = jnp.einsum("cm,...mt->...ct", self._dct, mel_db)
-        out = np.asarray(jnp.swapaxes(out, -1, -2))  # (B, k, n_mfcc)
+        frames = seg[:, idx] * self._win  # (B, k, n_fft)
+        power = np.square(np.abs(np.fft.rfft(frames, axis=-1))).astype(
+            np.float32
+        )
+        mel = np.einsum("mf,bkf->bkm", self._fb, power)
+        log_spec = 10.0 * np.log10(np.maximum(1e-10, mel))
+        if self.ref_db is not None:
+            log_spec = np.maximum(log_spec, np.float32(self.ref_db) - 80.0)
+        out = np.einsum("cm,bkm->bkc", self._dct, log_spec)  # (B, k, n_mfcc)
 
         self._buf = self._buf[:, n_avail * self.hop :]
         self._next += n_avail

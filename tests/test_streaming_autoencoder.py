@@ -77,7 +77,9 @@ class TestStreamingMFCC:
         f = SIGLEN // BLOCK
         assert counts[0] == 0 and counts[1] == 2 and set(counts[2:]) == {1}
         assert got.shape == (2, f, N_MFCC)
-        np.testing.assert_allclose(got, offline[:, :f], atol=1e-4)
+        # atol: StreamingMFCC runs numpy's f64 FFT; offline runs XLA's
+        # complex64 — ~2e-4 on dB-scale coefficients (relative ~1e-6)
+        np.testing.assert_allclose(got, offline[:, :f], atol=1e-3)
 
     def test_equals_offline_irregular_pushes(self):
         """Push sizes that don't align with the hop still emit the same
@@ -94,7 +96,9 @@ class TestStreamingMFCC:
         got = np.concatenate(got, axis=1)
         f = got.shape[1]
         assert f >= SIGLEN // BLOCK - 1  # all but possibly the tail frame
-        np.testing.assert_allclose(got, offline[:, :f], atol=1e-4)
+        # atol: StreamingMFCC runs numpy's f64 FFT; offline runs XLA's
+        # complex64 — ~2e-4 on dB-scale coefficients (relative ~1e-6)
+        np.testing.assert_allclose(got, offline[:, :f], atol=1e-3)
 
     def test_librosa_floor_parity_with_known_ref(self):
         """With ref_db set to the true global max, streamed frames equal the
@@ -121,7 +125,7 @@ class TestStreamingMFCC:
                  for k in range(f)],
                 axis=1,
             )
-            np.testing.assert_allclose(got, default[b : b + 1, :f], atol=1e-4)
+            np.testing.assert_allclose(got, default[b : b + 1, :f], atol=1e-3)
 
     def test_rejects_bad_geometry_and_shape(self):
         with pytest.raises(ValueError, match="n_fft <= 2"):
