@@ -55,12 +55,13 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 class _Pending:
     """A session's in-flight pooled request awaiting its dispatch."""
 
-    __slots__ = ("slot", "f0", "loud", "event", "audio", "error")
+    __slots__ = ("slot", "f0", "loud", "mfcc", "event", "audio", "error")
 
-    def __init__(self, slot, f0, loud):
+    def __init__(self, slot, f0, loud, mfcc=None):
         self.slot = slot
         self.f0 = f0
         self.loud = loud
+        self.mfcc = mfcc
         self.event = threading.Event()
         self.audio = None
         self.error = None
@@ -89,11 +90,6 @@ class StreamServer:
         self._bundle_dir = bundle_dir
         cfg = _Config.from_yaml(_path.join(bundle_dir, "config.yaml"))
         self._needs_audio = cfg.model.name == "mfcc-autoencoder"
-        if self._needs_audio and voices > 1:
-            raise ValueError(
-                "VoicePool serving is decoder-only for now; "
-                "mfcc-autoencoder bundles serve with voices=1"
-            )
         # ONE compiled step shared by every session (per-connection state);
         # make_streaming_synth is the single bundle→synth constructor (the
         # same one the C++ runtime instantiates).
@@ -153,18 +149,28 @@ class StreamServer:
                     state = self._synth.fresh_state(seed=seed)
             if self._needs_audio:
                 from ddsp_pytorch_tpu.export import make_streaming_mfcc
-                from ddsp_pytorch_tpu.streaming import (
-                    AutoencoderStreamSession,
-                )
 
-                # per-connection causal extractor + one-block-latency FIFOs
-                # (AutoencoderStreamSession docstring), sharing the server's
-                # one compiled synth
-                session = AutoencoderStreamSession(
-                    self._synth,
-                    make_streaming_mfcc(self._bundle_dir),
-                    seed=seed,
-                )
+                if self._pool is None:
+                    from ddsp_pytorch_tpu.streaming import (
+                        AutoencoderStreamSession,
+                    )
+
+                    # per-connection causal extractor + one-block-latency
+                    # FIFOs (AutoencoderStreamSession docstring), sharing
+                    # the server's one compiled synth
+                    session = AutoencoderStreamSession(
+                        self._synth,
+                        make_streaming_mfcc(self._bundle_dir),
+                        seed=seed,
+                    )
+                else:
+                    # pooled AE session: the synth state lives in the pool
+                    # (this slot's rows); the causal extractor and the
+                    # one-block-latency FIFOs stay per-connection
+                    extractor = make_streaming_mfcc(self._bundle_dir)
+                    frame_fifo = np.zeros((0, extractor.n_mfcc), np.float32)
+                    ctrl_fifo = np.zeros((0, 2), np.float32)
+                    out_fifo = np.zeros(self.block_size, np.float32)
             n_ch = 3 if self._needs_audio else 2
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
@@ -181,11 +187,48 @@ class StreamServer:
                     return
                 data = np.frombuffer(payload, np.float32)
                 pitch, loud = data[:n], data[n : 2 * n]
-                if self._needs_audio:
+                if self._needs_audio and self._pool is None:
                     with self._lock:
                         audio = session.step_samples(
                             pitch, loud, data[2 * n :]
                         )
+                    conn.sendall(
+                        struct.pack("<I", n)
+                        + audio.astype(np.float32).tobytes()
+                    )
+                    continue
+                if self._needs_audio:  # pooled AE session
+                    frames = extractor.push(data[2 * n :][None])[0]
+                    frame_fifo = np.concatenate([frame_fifo, frames])
+                    ctrl_fifo = np.concatenate(
+                        [
+                            ctrl_fifo,
+                            np.stack(
+                                [
+                                    pitch[:: self.block_size],
+                                    loud[:: self.block_size],
+                                ],
+                                axis=1,
+                            ),
+                        ]
+                    )
+                    r = min(len(frame_fifo), len(ctrl_fifo))
+                    if r:
+                        pending = _Pending(
+                            slot,
+                            ctrl_fifo[:r, :1],
+                            ctrl_fifo[:r, 1:],
+                            frame_fifo[:r],
+                        )
+                        self._queue.put(pending)
+                        if not pending.event.wait(timeout=30):
+                            return
+                        if pending.error is not None:
+                            return
+                        frame_fifo = frame_fifo[r:]
+                        ctrl_fifo = ctrl_fifo[r:]
+                        out_fifo = np.concatenate([out_fifo, pending.audio])
+                    audio, out_fifo = out_fifo[:n], out_fifo[n:]
                     conn.sendall(
                         struct.pack("<I", n)
                         + audio.astype(np.float32).tobytes()
@@ -250,7 +293,12 @@ class StreamServer:
                 self._queue.put(d)
             for items in groups.values():
                 requests = {
-                    s: (it.f0, it.loud) for s, it in items.items()
+                    s: (
+                        (it.f0, it.loud)
+                        if it.mfcc is None
+                        else (it.f0, it.loud, it.mfcc)
+                    )
+                    for s, it in items.items()
                 }
                 try:
                     # pool.step returns host rows from one device gather +

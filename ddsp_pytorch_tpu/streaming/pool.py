@@ -35,7 +35,7 @@ from ddsp_pytorch_tpu.streaming import StreamingSynth, StreamState
 
 
 def _reset_slot(state: StreamState, slot) -> StreamState:
-    """Zero one voice's carries (GRU, phase, reverb line); rng untouched."""
+    """Zero one voice's carries (GRUs, phase, reverb line); rng untouched."""
     new = StreamState(
         gru=state.gru.at[slot].set(0.0),
         phase=state.phase.at[slot].set(0.0),
@@ -46,6 +46,11 @@ def _reset_slot(state: StreamState, slot) -> StreamState:
             else jax.tree.map(
                 lambda x: x.at[slot].set(0), state.reverb
             )
+        ),
+        enc_gru=(
+            None
+            if state.enc_gru is None
+            else state.enc_gru.at[slot].set(0.0)
         ),
     )
     return new
@@ -92,13 +97,14 @@ class VoicePool:
 
     # ------------------------------------------------------------- step
     def step(
-        self, requests: Dict[int, Tuple[np.ndarray, np.ndarray]]
+        self, requests: Dict[int, Tuple[np.ndarray, ...]]
     ) -> Dict[int, np.ndarray]:
         """One batched dispatch serving every requesting slot.
 
-        requests: slot → (f0_frames (F, 1), loudness_frames (F, 1)); all
-        requests in one call must share F.  Returns slot → (F*block,) host
-        audio.  Slots without a request keep their state.
+        requests: slot → (f0_frames (F, 1), loudness_frames (F, 1)) — plus
+        mfcc_frames (F, n_mfccs) as a third element for mfcc-autoencoder
+        pools; all requests in one call must share F.  Returns slot →
+        (F*block,) host audio.  Slots without a request keep their state.
 
         The active rows come back in ONE device gather + ONE host pull —
         per-slot row extraction would cost a dispatch (and a tunnel
@@ -107,7 +113,8 @@ class VoicePool:
         """
         if not requests:
             return {}
-        frames = {np.asarray(f).shape[0] for f, _ in requests.values()}
+        autoencoder = getattr(self.synth, "_autoencoder", False)
+        frames = {np.asarray(r[0]).shape[0] for r in requests.values()}
         if len(frames) != 1:
             raise ValueError(
                 f"all requests in one dispatch must share a frame count, "
@@ -117,15 +124,26 @@ class VoicePool:
         v = self.voices
         f0 = np.zeros((v, f, 1), np.float32)
         loud = np.zeros((v, f, 1), np.float32)
+        mfcc = None
         active = np.zeros((v,), bool)
         order = sorted(requests)
-        for slot, (pf, lf) in requests.items():
-            f0[slot] = np.asarray(pf, np.float32).reshape(f, 1)
-            loud[slot] = np.asarray(lf, np.float32).reshape(f, 1)
+        for slot, req in requests.items():
+            if autoencoder and len(req) != 3:
+                raise ValueError(
+                    "mfcc-autoencoder pool: requests are "
+                    "(f0, loudness, mfcc_frames)"
+                )
+            f0[slot] = np.asarray(req[0], np.float32).reshape(f, 1)
+            loud[slot] = np.asarray(req[1], np.float32).reshape(f, 1)
+            if autoencoder:
+                mf = np.asarray(req[2], np.float32)
+                if mfcc is None:
+                    mfcc = np.zeros((v, f, mf.shape[-1]), np.float32)
+                mfcc[slot] = mf.reshape(f, -1)
             active[slot] = True
         with self._lock:
             audio, self._state = self.synth.step_stateless_masked(
-                self._state, f0, loud, active
+                self._state, f0, loud, active, mfcc_frames=mfcc
             )
             rows = np.asarray(audio[jnp.asarray(order, jnp.int32)])
         return {s: rows[i] for i, s in enumerate(order)}

@@ -142,10 +142,6 @@ def test_stream_server_autoencoder(tmp_path):
     run_dir, cfg = _train_tiny_ae(tmp_path)
     bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="ae")
 
-    # decoder-only pooling is the only pool mode
-    with pytest.raises(ValueError, match="decoder-only"):
-        StreamServer(bundle, port=0, voices=2)
-
     server = StreamServer(bundle, port=0)
     server.start()
     host, port = server.address
@@ -202,5 +198,67 @@ def test_stream_server_autoencoder(tmp_path):
         expect = np.concatenate(expect)  # blocks 0..3 rendered
         served = np.concatenate(got[1:])  # blocks 0..2 (one-block latency)
         np.testing.assert_allclose(served, expect[: 3 * block], atol=1e-4)
+    finally:
+        server.stop()
+
+
+@pytest.mark.slow
+def test_stream_server_autoencoder_pooled(tmp_path):
+    """voices>1 with an mfcc-autoencoder bundle: two concurrent sessions
+    stream audio through the pooled dispatcher (per-connection causal
+    extractors + one-block latency, one batched device dispatch)."""
+    import threading
+
+    from tests.test_export_runtime import _train_tiny_ae
+
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.serve import StreamClient, StreamServer
+
+    sr, block = 16000, 128
+    run_dir, cfg = _train_tiny_ae(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="aep")
+
+    server = StreamServer(bundle, port=0, voices=2)
+    server.start()
+    host, port = server.address
+    try:
+        n = 2 * block
+        t = np.arange(4 * n) / sr
+        audio_in = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        pitch = np.full(n, 220.0, np.float32)
+        loud = np.zeros(n, np.float32)
+
+        results = {}
+
+        def run(tag):
+            c = StreamClient(host, port)
+            assert c.needs_audio
+            blocks = []
+            for k in range(4):
+                blocks.append(
+                    c.render(pitch, loud, audio_in[k * n : (k + 1) * n])
+                )
+            c.close()
+            results[tag] = blocks
+
+        ts = [threading.Thread(target=run, args=(x,)) for x in "ab"]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=60)
+        assert set(results) == {"a", "b"}
+        for tag in "ab":
+            # first block of the first response is the latency silence
+            np.testing.assert_array_equal(results[tag][0][:block], 0.0)
+            full = np.concatenate(results[tag])
+            assert full.shape == (4 * n,)
+            assert np.all(np.isfinite(full))
+            assert np.abs(full[block:]).max() > 0  # audio actually flows
+        # identical inputs → identical pooled streams up to the (batch-level
+        # PRNG) noise branch
+        np.testing.assert_allclose(
+            np.concatenate(results["a"]), np.concatenate(results["b"]),
+            atol=1e-2,
+        )
     finally:
         server.stop()

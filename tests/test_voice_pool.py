@@ -127,3 +127,68 @@ def test_pool_capacity_and_mixed_frames(rng):
                 0: (np.zeros((3, 1), np.float32), np.zeros((3, 1), np.float32)),
             }
         )
+
+
+def test_pool_autoencoder_matches_independent_streams(rng):
+    """mfcc-autoencoder pool: each slot's stream (with per-slot MFCC frames
+    driving the encoder GRU) equals a dedicated batch-1 stream exactly
+    (deterministic noise)."""
+    cfg = Config()
+    cfg.preprocess.sample_rate = SR
+    cfg.preprocess.block_size = BLOCK
+    cfg.model.name = "mfcc-autoencoder"
+    cfg.model.kwargs.update(
+        hidden_size=16, n_harmonic=4, n_bands=5, sample_rate=SR,
+        block_size=BLOCK, has_reverb=False, use_pallas="never",
+    )
+    model = load_model(cfg)
+    n = 8 * BLOCK
+    init_batch = {
+        "sig": jnp.zeros((1, n), jnp.float32),
+        "pitch": jnp.full((1, 8, 1), 220.0, jnp.float32),
+        "loudness": jnp.zeros((1, 8, 1), jnp.float32),
+        "mfcc": jnp.zeros((1, 8, 30), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "noise": key}, init_batch)["params"]
+
+    pool = VoicePool(
+        StreamingSynth(model, params, batch=3, noise_deterministic=True)
+    )
+    ref_a = StreamingSynth(model, params, batch=1, noise_deterministic=True)
+    ref_b = StreamingSynth(model, params, batch=1, noise_deterministic=True)
+
+    def ctrl3(seed):
+        r = np.random.default_rng(seed)
+        return [
+            (
+                r.uniform(100, 300, (F, 1)).astype(np.float32),
+                r.standard_normal((F, 1)).astype(np.float32),
+                r.standard_normal((F, 30)).astype(np.float32),
+            )
+            for _ in range(3)
+        ]
+
+    ctrl_a, ctrl_b = ctrl3(1), ctrl3(2)
+    a = pool.acquire()
+    b = pool.acquire()
+    out_a, out_b = [], []
+    for i in range(3):
+        outs = pool.step({a: ctrl_a[i], b: ctrl_b[i]})
+        out_a.append(outs[a])
+        out_b.append(outs[b])
+    # (f0, loud) without mfcc is rejected on an AE pool
+    with pytest.raises(ValueError, match="mfcc"):
+        pool.step({a: ctrl_a[0][:2]})
+
+    for i in range(3):
+        fa, la, ma = ctrl_a[i]
+        want = np.asarray(
+            ref_a.step(fa[None], la[None], ma[None])
+        )[0]
+        np.testing.assert_allclose(out_a[i], want, atol=1e-5)
+        fb, lb, mb = ctrl_b[i]
+        want_b = np.asarray(
+            ref_b.step(fb[None], lb[None], mb[None])
+        )[0]
+        np.testing.assert_allclose(out_b[i], want_b, atol=1e-5)
