@@ -40,6 +40,10 @@ from typing import Optional
 import numpy as np
 
 MAGIC = b"DDSP"
+# Largest request accepted (samples): 10 s at 192 kHz.  A session streaming
+# realtime sends block-sized requests; the cap only bounds the buffer a
+# malicious/buggy client can make the server allocate per request.
+MAX_REQUEST_SAMPLES = 1_920_000
 
 
 def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
@@ -179,7 +183,9 @@ class StreamServer:
                 (n,) = struct.unpack("<I", head)
                 if n == 0:
                     return
-                if n % self.block_size != 0:
+                if n % self.block_size != 0 or n > MAX_REQUEST_SAMPLES:
+                    # reject oversized n before allocating/recv'ing its
+                    # payload (n is a raw uint32 off the wire)
                     conn.sendall(struct.pack("<I", 0))
                     return
                 payload = _recv_exact(conn, 4 * n_ch * n)

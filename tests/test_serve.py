@@ -262,3 +262,33 @@ def test_stream_server_autoencoder_pooled(tmp_path):
         )
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_stream_server_rejects_oversized_request(tmp_path):
+    """n is a raw uint32 off the wire: an oversized request is refused
+    before the server allocates or recv's its payload."""
+    import socket
+    import struct
+
+    from tests.test_export_runtime import _train_tiny
+
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.serve import MAGIC, StreamServer
+
+    run_dir, cfg = _train_tiny(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="big")
+    server = StreamServer(bundle, port=0)
+    server.start()
+    host, port = server.address
+    try:
+        s = socket.create_connection((host, port))
+        hello = s.recv(16)
+        assert hello[:4] == MAGIC
+        n = (3_000_000 // 128) * 128  # block-multiple but over the cap
+        s.sendall(struct.pack("<I", n))
+        head = s.recv(4)
+        assert struct.unpack("<I", head)[0] == 0  # rejected
+        s.close()
+    finally:
+        server.stop()
