@@ -32,11 +32,12 @@ def main():
         sample_rate=sr,
         block_size=block,
     )
-    # one protocol, one implementation: the same run_benchmark the
-    # performance.py CLI uses (batch 1 → per-voice realtime factor;
-    # samples/s/chip scales with batch — BASELINE.md sweep).  Best of 3
-    # protocol runs: the tunneled chip's dispatch latency has multi-ms
-    # transients that a single mean-of-20 can land on.
+    # Same implementation as the performance.py CLI (one run_benchmark),
+    # but a different statistic: the CLI reports one protocol run's mean,
+    # while the driver metric is the BEST of 3 protocol runs — the
+    # tunneled chip's dispatch latency has multi-ms transients that a
+    # single mean-of-20 can land on, and the driver result must be stable
+    # round to round.  BASELINE.md's table uses the same best-of-3.
     x_realtime = max(
         run_benchmark(config=config, n_run=20, batch=1)["x_realtime"]
         for _ in range(3)

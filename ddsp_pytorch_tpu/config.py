@@ -51,7 +51,7 @@ class PreprocessConfig:
     # Fixed dB reference for the MFCC log floor (None → librosa's per-chunk
     # global-max reference, matching the reference exactly).  Set a value
     # (e.g. 0.0) to make train-time MFCCs identical to what the causal
-    # streaming extractor (ops/spectral.py StreamingMFCC) computes live —
+    # streaming extractor (streaming/mfcc.py StreamingMFCC) computes live —
     # required for exact train/stream agreement of the mfcc-autoencoder's
     # realtime path.  Frozen into exported bundles.
     mfcc_ref_db: Optional[float] = None

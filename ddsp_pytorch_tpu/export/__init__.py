@@ -162,7 +162,7 @@ def make_streaming_mfcc(bundle_dir_or_config, batch: int = 1):
     dB floor and the live extractor runs floorless (differing only on mel
     bins >80 dB below each chunk's peak).
     """
-    from ddsp_pytorch_tpu.ops.spectral import StreamingMFCC
+    from ddsp_pytorch_tpu.streaming.mfcc import StreamingMFCC
 
     if isinstance(bundle_dir_or_config, Config):
         config = bundle_dir_or_config

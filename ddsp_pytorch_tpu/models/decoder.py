@@ -143,7 +143,30 @@ class GRUDecoder(nn.Module):
         return hidden
 
 
-class DDSPDecoder(nn.Module):
+class ControlProjectionMixin:
+    """Shared hidden-state -> synth-controls projection.
+
+    The contract (reference decoder.py:86-87, 106-117: harmonic_proj column
+    0 = global amplitude, rest = distribution; noise_proj -> band
+    magnitudes; controls computed in f32) is identical for both model
+    families; this mixin is its single home (DDSPDecoder and
+    DDSPAutoencoder both provide harmonic_proj/noise_proj/harmonic_synth/
+    noise_synth in setup)."""
+
+    def _controls(self, hidden, f0):
+        """Project decoder hidden state to synth controls (f32)."""
+        param = self.harmonic_proj(hidden).astype(jnp.float32)
+        amplitudes = param[..., :1]
+        harmonic_distribution = param[..., 1:]
+        harmonic_ctrls = self.harmonic_synth.get_controls(
+            amplitudes, harmonic_distribution, f0
+        )
+        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
+        noise_ctrls = self.noise_synth.get_controls(magnitudes)
+        return harmonic_ctrls, noise_ctrls
+
+
+class DDSPDecoder(ControlProjectionMixin, nn.Module):
     """The "single-inst-decoder" model (reference decoder.py:70-191).
 
     forward(batch) consumes frame-rate pitch + (normalized) loudness and
@@ -174,18 +197,6 @@ class DDSPDecoder(nn.Module):
         )
         if self.has_reverb:
             self.reverb = Reverb(self.sample_rate, self.sample_rate)
-
-    def _controls(self, hidden, f0):
-        """Project decoder hidden state to synth controls (f32)."""
-        param = self.harmonic_proj(hidden).astype(jnp.float32)
-        amplitudes = param[..., :1]
-        harmonic_distribution = param[..., 1:]
-        harmonic_ctrls = self.harmonic_synth.get_controls(
-            amplitudes, harmonic_distribution, f0
-        )
-        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
-        noise_ctrls = self.noise_synth.get_controls(magnitudes)
-        return harmonic_ctrls, noise_ctrls
 
     def frame_controls(self, f0: jax.Array, loudness: jax.Array):
         """Frame-rate controls only (no synthesis): decoder + projections.

@@ -13,7 +13,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ddsp_pytorch_tpu.models.decoder import GRU, GRUDecoder
+from ddsp_pytorch_tpu.models.decoder import (
+    GRU,
+    ControlProjectionMixin,
+    GRUDecoder,
+)
 from ddsp_pytorch_tpu.models.modules import FilteredNoise, HarmonicSynth, Reverb
 
 N_MFCCS = 30  # reference encoder.py:41
@@ -48,7 +52,7 @@ class MFCCEncoder(nn.Module):
         return z
 
 
-class DDSPAutoencoder(nn.Module):
+class DDSPAutoencoder(ControlProjectionMixin, nn.Module):
     """The "mfcc-autoencoder" model (reference encoder.py:29-141)."""
 
     hidden_size: int
@@ -82,18 +86,6 @@ class DDSPAutoencoder(nn.Module):
         )
         if self.has_reverb:
             self.reverb = Reverb(self.sample_rate, self.sample_rate)
-
-    def _controls(self, hidden, f0):
-        """Project decoder hidden state to synth controls (f32)."""
-        param = self.harmonic_proj(hidden).astype(jnp.float32)
-        amplitudes = param[..., :1]
-        harmonic_distribution = param[..., 1:]
-        harmonic_ctrls = self.harmonic_synth.get_controls(
-            amplitudes, harmonic_distribution, f0
-        )
-        magnitudes = self.noise_proj(hidden).astype(jnp.float32)
-        noise_ctrls = self.noise_synth.get_controls(magnitudes)
-        return harmonic_ctrls, noise_ctrls
 
     def frame_controls(self, f0: jax.Array, loudness: jax.Array,
                        mfcc: jax.Array):
@@ -150,7 +142,7 @@ class DDSPAutoencoder(nn.Module):
         defines no realtime_forward); this one is exact — block-streamed
         output equals the offline forward given the same noise draw
         (tests/test_streaming.py).  MFCC frames come from a causal extractor
-        (ops/spectral.py StreamingMFCC).  No reverb, matching the realtime
+        (streaming/mfcc.py StreamingMFCC).  No reverb, matching the realtime
         contract (the exported IR is applied externally or via the in-stream
         partitioned convolution in streaming/StreamingSynth).
         """

@@ -17,7 +17,7 @@ Wire protocol (little-endian):
   n == 0 from the client closes the session.
 
 Autoencoder sessions (flags bit 0): the server runs a per-connection causal
-MFCC extractor (ops/spectral.py StreamingMFCC) over the client's audio and
+MFCC extractor (streaming/mfcc.py StreamingMFCC) over the client's audio and
 answers with ONE block of output latency — the first response leads with a
 silent block — because MFCC frame 0's reflect pad needs one sample beyond
 block 0.  That keeps the MFCC↔audio alignment identical to training (no
@@ -57,9 +57,19 @@ def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
 
 
 class _Pending:
-    """A session's in-flight pooled request awaiting its dispatch."""
+    """A session's in-flight pooled request awaiting its dispatch.
 
-    __slots__ = ("slot", "f0", "loud", "mfcc", "event", "audio", "error")
+    Slot-release handshake: a session that gives up on a request (wait
+    timeout, connection teardown) must NOT release its pool slot while the
+    request can still be dispatched — the dispatcher would advance a
+    re-acquired slot with the dead session's controls.  The `lock` guards a
+    single exchange: the session sets `cancelled` if `done` is not yet set,
+    transferring the release duty to the dispatcher; the dispatcher sets
+    `done` when it finishes (or skips) the item and releases the slot iff
+    it observed `cancelled`."""
+
+    __slots__ = ("slot", "f0", "loud", "mfcc", "event", "audio", "error",
+                 "lock", "done", "cancelled")
 
     def __init__(self, slot, f0, loud, mfcc=None):
         self.slot = slot
@@ -69,6 +79,9 @@ class _Pending:
         self.event = threading.Event()
         self.audio = None
         self.error = None
+        self.lock = threading.Lock()
+        self.done = False
+        self.cancelled = False
 
 
 class StreamServer:
@@ -86,6 +99,7 @@ class StreamServer:
         host: str = "127.0.0.1",
         port: int = 0,
         voices: int = 1,
+        dispatch_timeout: float = 120.0,
     ):
         from ddsp_pytorch_tpu.config import Config as _Config
         from ddsp_pytorch_tpu.export import make_streaming_synth
@@ -94,6 +108,12 @@ class StreamServer:
         self._bundle_dir = bundle_dir
         cfg = _Config.from_yaml(_path.join(bundle_dir, "config.yaml"))
         self._needs_audio = cfg.model.name == "mfcc-autoencoder"
+        self._n_mfcc = cfg.preprocess.n_mfcc
+        # Bounds a pooled session's wait for its batched dispatch.  Must
+        # cover a first-time XLA compile of the step at a new frame count
+        # (~20-90 s on a tunneled chip) — a timeout shorter than the compile
+        # would drop every client that connects before the step is warm.
+        self._dispatch_timeout = float(dispatch_timeout)
         # ONE compiled step shared by every session (per-connection state);
         # make_streaming_synth is the single bundle→synth constructor (the
         # same one the C++ runtime instantiates).
@@ -121,14 +141,47 @@ class StreamServer:
 
             self._pool = VoicePool(self._synth)
             self._queue = queue.Queue()
+            self._warmup()
             self._dispatcher = threading.Thread(
                 target=self._dispatch_loop, daemon=True
             )
             self._dispatcher.start()
 
+    def _warmup(self) -> None:
+        """Compile the pooled step at the realtime wire shape (one block)
+        before accepting connections, so block-streaming clients never sit
+        through an XLA compile inside their first request."""
+        slot = self._pool.acquire()
+        try:
+            f0 = np.full((1, 1), 100.0, np.float32)
+            loud = np.zeros((1, 1), np.float32)
+            req = (f0, loud)
+            if self._needs_audio:
+                req = (f0, loud, np.zeros((1, self._n_mfcc), np.float32))
+            self._pool.step({slot: req})
+        finally:
+            self._pool.release(slot)
+
     # ------------------------------------------------------------ session
+    def _pool_wait(self, pending: _Pending, inflight: list) -> np.ndarray:
+        """Enqueue a pooled request and wait for its batched dispatch.
+
+        `inflight` is the session's one-element handoff cell: it holds the
+        pending while the dispatcher may still touch it, so the teardown
+        path (finally in _serve_conn) can transfer the slot-release duty if
+        the session dies mid-flight (_Pending docstring)."""
+        inflight[0] = pending
+        self._queue.put(pending)
+        if not pending.event.wait(timeout=self._dispatch_timeout):
+            raise TimeoutError("pooled dispatch timed out")
+        if pending.error is not None:
+            raise RuntimeError(f"pooled dispatch failed: {pending.error!r}")
+        inflight[0] = None
+        return pending.audio
+
     def _serve_conn(self, conn: socket.socket) -> None:
         slot = None
+        inflight = [None]  # in-flight _Pending (slot-release handshake)
         try:
             if self._pool is not None:
                 slot = self._pool.acquire()
@@ -143,38 +196,56 @@ class StreamServer:
                     1 if self._needs_audio else 0,
                 )
             )
-            if self._pool is None:
-                with self._lock:
-                    # distinct seed per session: concurrent streams must
-                    # not share one noise-RNG stream (identical controls
-                    # would otherwise produce bit-identical "random" noise)
-                    seed = self._session_seed
-                    self._session_seed += 1
-                    state = self._synth.fresh_state(seed=seed)
+            with self._lock:
+                # distinct seed per session: concurrent streams must not
+                # share one noise-RNG stream (identical controls would
+                # otherwise produce bit-identical "random" noise)
+                seed = self._session_seed
+                self._session_seed += 1
+            session = None
             if self._needs_audio:
                 from ddsp_pytorch_tpu.export import make_streaming_mfcc
+                from ddsp_pytorch_tpu.streaming import (
+                    AutoencoderStreamSession,
+                )
 
+                # The causal extractor + one-block-latency FIFOs live in
+                # AutoencoderStreamSession (the ONE home of those
+                # invariants); only the render callback differs by mode.
                 if self._pool is None:
-                    from ddsp_pytorch_tpu.streaming import (
-                        AutoencoderStreamSession,
-                    )
+                    state_cell = [self._synth.fresh_state(seed=seed)]
 
-                    # per-connection causal extractor + one-block-latency
-                    # FIFOs (AutoencoderStreamSession docstring), sharing
-                    # the server's one compiled synth
-                    session = AutoencoderStreamSession(
-                        self._synth,
-                        make_streaming_mfcc(self._bundle_dir),
-                        seed=seed,
-                    )
+                    def step_fn(f0, loud, mfcc):
+                        # the server lock scopes ONLY the device dispatch;
+                        # the D2H audio pull runs unlocked (decoder-path
+                        # parity below) so concurrent sessions overlap
+                        # their transfers instead of serializing on them
+                        with self._lock:
+                            audio_dev, state_cell[0] = (
+                                self._synth.step_stateless(
+                                    state_cell[0],
+                                    f0[None],
+                                    loud[None],
+                                    mfcc_frames=mfcc[None],
+                                )
+                            )
+                        return np.asarray(audio_dev)[0]
+
                 else:
                     # pooled AE session: the synth state lives in the pool
-                    # (this slot's rows); the causal extractor and the
-                    # one-block-latency FIFOs stay per-connection
-                    extractor = make_streaming_mfcc(self._bundle_dir)
-                    frame_fifo = np.zeros((0, extractor.n_mfcc), np.float32)
-                    ctrl_fifo = np.zeros((0, 2), np.float32)
-                    out_fifo = np.zeros(self.block_size, np.float32)
+                    # (this slot's rows); render = batched pool dispatch
+                    def step_fn(f0, loud, mfcc):
+                        return self._pool_wait(
+                            _Pending(slot, f0, loud, mfcc), inflight
+                        )
+
+                session = AutoencoderStreamSession(
+                    self._synth,
+                    make_streaming_mfcc(self._bundle_dir),
+                    step_fn=step_fn,
+                )
+            elif self._pool is None:
+                state = self._synth.fresh_state(seed=seed)
             n_ch = 3 if self._needs_audio else 2
             while not self._stop.is_set():
                 head = _recv_exact(conn, 4)
@@ -193,65 +264,28 @@ class StreamServer:
                     return
                 data = np.frombuffer(payload, np.float32)
                 pitch, loud = data[:n], data[n : 2 * n]
-                if self._needs_audio and self._pool is None:
-                    with self._lock:
+                if self._needs_audio:
+                    try:
                         audio = session.step_samples(
                             pitch, loud, data[2 * n :]
                         )
-                    conn.sendall(
-                        struct.pack("<I", n)
-                        + audio.astype(np.float32).tobytes()
-                    )
-                    continue
-                if self._needs_audio:  # pooled AE session
-                    frames = extractor.push(data[2 * n :][None])[0]
-                    frame_fifo = np.concatenate([frame_fifo, frames])
-                    ctrl_fifo = np.concatenate(
-                        [
-                            ctrl_fifo,
-                            np.stack(
-                                [
-                                    pitch[:: self.block_size],
-                                    loud[:: self.block_size],
-                                ],
-                                axis=1,
-                            ),
-                        ]
-                    )
-                    r = min(len(frame_fifo), len(ctrl_fifo))
-                    if r:
-                        pending = _Pending(
-                            slot,
-                            ctrl_fifo[:r, :1],
-                            ctrl_fifo[:r, 1:],
-                            frame_fifo[:r],
-                        )
-                        self._queue.put(pending)
-                        if not pending.event.wait(timeout=30):
-                            return
-                        if pending.error is not None:
-                            return
-                        frame_fifo = frame_fifo[r:]
-                        ctrl_fifo = ctrl_fifo[r:]
-                        out_fifo = np.concatenate([out_fifo, pending.audio])
-                    audio, out_fifo = out_fifo[:n], out_fifo[n:]
-                    conn.sendall(
-                        struct.pack("<I", n)
-                        + audio.astype(np.float32).tobytes()
-                    )
-                    continue
-                if self._pool is not None:
+                    except (TimeoutError, RuntimeError):
+                        # pooled dispatch failed/timed out: close the
+                        # session (the handshake in finally keeps the slot
+                        # safe until the dispatcher is done with it)
+                        if self._pool is None:
+                            raise
+                        return
+                elif self._pool is not None:
                     pending = _Pending(
                         slot,
                         pitch[:: self.block_size, None],
                         loud[:: self.block_size, None],
                     )
-                    self._queue.put(pending)
-                    if not pending.event.wait(timeout=30):
+                    try:
+                        audio = self._pool_wait(pending, inflight)
+                    except (TimeoutError, RuntimeError):
                         return
-                    if pending.error is not None:
-                        return
-                    audio = pending.audio
                 else:
                     f0 = pitch[None, :: self.block_size, None]
                     ld = loud[None, :: self.block_size, None]
@@ -263,9 +297,32 @@ class StreamServer:
                 conn.sendall(struct.pack("<I", n) + audio.astype(np.float32).tobytes())
         finally:
             if slot is not None:
-                self._pool.release(slot)
+                release = True
+                pending = inflight[0]
+                if pending is not None:
+                    with pending.lock:
+                        if not pending.done:
+                            # dispatcher still owns the request: it will
+                            # release the slot when it finishes with it
+                            pending.cancelled = True
+                            release = False
+                if release:
+                    self._pool.release(slot)
             self._conns.discard(conn)
             conn.close()
+
+    def _finish(self, item: _Pending, audio=None, error=None) -> None:
+        """Complete a pooled request: publish the result, wake the session,
+        and — iff the session abandoned it mid-flight — release its slot
+        (the other half of the _Pending handshake)."""
+        item.audio = audio
+        item.error = error
+        with item.lock:
+            item.done = True
+            release = item.cancelled
+        item.event.set()
+        if release:
+            self._pool.release(item.slot)
 
     def _dispatch_loop(self) -> None:
         """Coalesce pending pooled requests into batched dispatches.
@@ -290,6 +347,13 @@ class StreamServer:
             groups = {}
             deferred = []
             for item in batch:
+                with item.lock:
+                    cancelled = item.cancelled
+                if cancelled:  # session gone before dispatch: never step it
+                    self._finish(
+                        item, error=ConnectionError("session cancelled")
+                    )
+                    continue
                 g = groups.setdefault(item.f0.shape[0], {})
                 if item.slot in g:
                     deferred.append(item)
@@ -311,13 +375,11 @@ class StreamServer:
                     # one pull (the device→host link is the scarce
                     # resource, not the chip)
                     outs = self._pool.step(requests)
-                    for s, audio in outs.items():
-                        items[s].audio = audio
+                    for s, it in items.items():
+                        self._finish(it, audio=outs[s])
                 except Exception as e:  # surface to the waiting sessions
                     for it in items.values():
-                        it.error = e
-                for it in items.values():
-                    it.event.set()
+                        self._finish(it, error=e)
 
     # ------------------------------------------------------------- control
     def serve_forever(self) -> None:

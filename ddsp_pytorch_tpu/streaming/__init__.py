@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ddsp_pytorch_tpu.streaming.mfcc import StreamingMFCC  # noqa: F401
+
 
 @flax.struct.dataclass
 class StreamState:
@@ -97,7 +99,7 @@ class StreamingSynth:
         from ddsp_pytorch_tpu.models.encoder import DDSPAutoencoder
 
         # mfcc-autoencoder streams additionally thread the encoder GRU carry
-        # and take per-block MFCC frames (from ops/spectral.py StreamingMFCC)
+        # and take per-block MFCC frames (from streaming/mfcc.py StreamingMFCC)
         # — the reference's autoencoder has no realtime path at all.
         self._autoencoder = isinstance(model, DDSPAutoencoder)
 
@@ -195,7 +197,7 @@ class StreamingSynth:
             if self._autoencoder and mfcc is None:
                 raise ValueError(
                     "mfcc-autoencoder stream: pass mfcc frames (B, F, "
-                    "n_mfccs) — see ops/spectral.py StreamingMFCC"
+                    "n_mfccs) — see streaming/mfcc.py StreamingMFCC"
                 )
             spectra = self._pir.spectra if self._pir is not None else None
             return self._step_raw(params, state, f0, loudness, spectra,
@@ -295,7 +297,7 @@ class AutoencoderStreamSession:
     Wraps a (shared) StreamingSynth + a per-session causal MFCC extractor
     behind the same sample-rate wire contract the decoder's `step_samples`
     has, with exactly ONE block of output latency: MFCC frame 0's reflect
-    pad needs one sample beyond block 0 (ops/spectral.py StreamingMFCC), so
+    pad needs one sample beyond block 0 (streaming/mfcc.py StreamingMFCC), so
     the out-FIFO is primed with a silent block and every response is the
     previous block's render.  Still half the reference's own two-block
     double-buffer latency (ddsp_tilde.cpp:7,87) — and the reference cannot
@@ -303,19 +305,37 @@ class AutoencoderStreamSession:
 
     Used by serve.py autoencoder sessions and the C++ host
     (ddsp_model_perform_audio).  Not thread-safe; callers serialize.
+
+    `step_fn` pluggability: the FIFO/latency machinery here is the single
+    home of the one-block-alignment invariants, while the actual render is
+    a callback `(f0 (r,1), loudness (r,1), mfcc (r,n_mfcc)) -> (r*block,)
+    host audio`.  The default owns a private StreamState and dispatches
+    `synth.step_stateless`; serve.py substitutes a lock-scoped dispatch
+    (voices=1) or a VoicePool-backed batched dispatch (voices>1) without
+    duplicating the FIFOs.
     """
 
     needs_audio = True
 
-    def __init__(self, synth: StreamingSynth, extractor, seed: int = 0):
+    def __init__(self, synth: StreamingSynth, extractor, seed: int = 0,
+                 step_fn=None):
         self.synth = synth
         self.block_size = synth.block_size
         self.sample_rate = synth.sample_rate
         self._sm = extractor
-        self.state = synth.fresh_state(seed=seed)
+        if step_fn is None:
+            self.state = synth.fresh_state(seed=seed)
+            step_fn = self._default_step
+        self._step_fn = step_fn
         self._frames = np.zeros((0, extractor.n_mfcc), np.float32)
         self._ctrl = np.zeros((0, 2), np.float32)  # (f0, loudness) frames
         self._out = np.zeros(self.block_size, np.float32)
+
+    def _default_step(self, f0, loud, mfcc) -> np.ndarray:
+        audio_dev, self.state = self.synth.step_stateless(
+            self.state, f0[None], loud[None], mfcc_frames=mfcc[None]
+        )
+        return np.asarray(audio_dev)[0]
 
     def step_samples(self, pitch, loudness, audio) -> np.ndarray:
         """(n,) sample-rate pitch/loudness/input-audio → (n,) output audio
@@ -342,14 +362,13 @@ class AutoencoderStreamSession:
         )
         r = min(len(self._frames), len(self._ctrl))
         if r:
-            audio_dev, self.state = self.synth.step_stateless(
-                self.state,
-                self._ctrl[None, :r, :1],
-                self._ctrl[None, :r, 1:],
-                mfcc_frames=self._frames[None, :r],
+            audio = self._step_fn(
+                self._ctrl[:r, :1], self._ctrl[:r, 1:], self._frames[:r]
             )
             self._frames = self._frames[r:]
             self._ctrl = self._ctrl[r:]
-            self._out = np.concatenate([self._out, np.asarray(audio_dev)[0]])
+            self._out = np.concatenate(
+                [self._out, np.asarray(audio, np.float32).reshape(-1)]
+            )
         out, self._out = self._out[:n], self._out[n:]
         return out

@@ -292,3 +292,48 @@ def test_stream_server_rejects_oversized_request(tmp_path):
         s.close()
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_pool_slot_release_handshake_on_cancelled_pending(tmp_path):
+    """A pooled request abandoned by its session (timeout/teardown) must
+    never be dispatched into a released-and-reacquired slot.  The
+    _Pending handshake transfers the slot-release duty to the dispatcher:
+    it skips the cancelled item WITHOUT stepping the pool and releases the
+    slot itself (serve.py _Pending docstring)."""
+    from tests.test_export_runtime import _train_tiny
+
+    from ddsp_pytorch_tpu.export import export_run
+    from ddsp_pytorch_tpu.serve import StreamServer, _Pending
+
+    run_dir, cfg = _train_tiny(tmp_path)
+    bundle = export_run(run_dir, os.path.join(tmp_path, "export"), name="hs")
+    server = StreamServer(bundle, port=0, voices=2)
+    server.start()
+    try:
+        slot = server._pool.acquire()
+        assert slot is not None
+        pending = _Pending(
+            slot,
+            np.full((4, 1), 220.0, np.float32),
+            np.zeros((4, 1), np.float32),
+        )
+        # simulate the session's teardown handshake: abandoned before the
+        # dispatcher picked it up
+        with pending.lock:
+            assert not pending.done
+            pending.cancelled = True
+        server._queue.put(pending)
+        assert pending.event.wait(10), "dispatcher never finished the item"
+        assert isinstance(pending.error, ConnectionError)
+        assert pending.audio is None  # pool was never stepped with it
+
+        # the dispatcher released the slot: the full pool is acquirable
+        s1 = server._pool.acquire()
+        s2 = server._pool.acquire()
+        assert s1 is not None and s2 is not None and s1 != s2
+        assert server._pool.acquire() is None  # exactly V slots, no double
+        server._pool.release(s1)
+        server._pool.release(s2)
+    finally:
+        server.stop()

@@ -3,7 +3,7 @@
 The reference's DDSPAutoencoder (encoder.py:29-141) defines no
 realtime_forward at all: only the plain decoder can stream.  Here the
 autoencoder streams exactly — per-block MFCC frames from a causal extractor
-(ops/spectral.py StreamingMFCC) drive the encoder GRU, whose carry joins the
+(streaming/mfcc.py StreamingMFCC) drive the encoder GRU, whose carry joins the
 StreamState — and block-streamed output equals the offline forward.
 """
 
@@ -14,7 +14,8 @@ import pytest
 
 from ddsp_pytorch_tpu.config import Config
 from ddsp_pytorch_tpu.models import load_model
-from ddsp_pytorch_tpu.ops.spectral import StreamingMFCC, mfcc
+from ddsp_pytorch_tpu.ops.spectral import mfcc
+from ddsp_pytorch_tpu.streaming.mfcc import StreamingMFCC
 from ddsp_pytorch_tpu.streaming import StreamingSynth, init_stream_state
 
 SR, BLOCK, SIGLEN = 16000, 64, 4096
