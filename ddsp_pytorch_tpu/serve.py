@@ -148,17 +148,24 @@ class StreamServer:
             self._dispatcher.start()
 
     def _warmup(self) -> None:
-        """Compile the pooled step at the realtime wire shape (one block)
-        before accepting connections, so block-streaming clients never sit
-        through an XLA compile inside their first request."""
+        """Compile the pooled step at the realtime wire shapes before
+        accepting connections, so block-streaming clients never sit through
+        an XLA compile inside a request (a cold compile in the dispatcher
+        stalls EVERY connected voice, not just the new one).
+
+        Decoder sessions dispatch one frame per block (F=1).  Autoencoder
+        sessions additionally dispatch F=2 once at stream start: block 0
+        releases no MFCC frames (the first frame's reflect pad needs one
+        sample beyond it), so block 1 releases frames 0 and 1 together."""
         slot = self._pool.acquire()
         try:
-            f0 = np.full((1, 1), 100.0, np.float32)
-            loud = np.zeros((1, 1), np.float32)
-            req = (f0, loud)
-            if self._needs_audio:
-                req = (f0, loud, np.zeros((1, self._n_mfcc), np.float32))
-            self._pool.step({slot: req})
+            for f in (1, 2) if self._needs_audio else (1,):
+                f0 = np.full((f, 1), 100.0, np.float32)
+                loud = np.zeros((f, 1), np.float32)
+                req = (f0, loud)
+                if self._needs_audio:
+                    req = (f0, loud, np.zeros((f, self._n_mfcc), np.float32))
+                self._pool.step({slot: req})
         finally:
             self._pool.release(slot)
 
@@ -196,12 +203,15 @@ class StreamServer:
                     1 if self._needs_audio else 0,
                 )
             )
-            with self._lock:
-                # distinct seed per session: concurrent streams must not
-                # share one noise-RNG stream (identical controls would
-                # otherwise produce bit-identical "random" noise)
-                seed = self._session_seed
-                self._session_seed += 1
+            if self._pool is None:
+                with self._lock:
+                    # distinct seed per session: concurrent streams must
+                    # not share one noise-RNG stream (identical controls
+                    # would otherwise produce bit-identical "random"
+                    # noise).  Pooled mode has no per-session seed — noise
+                    # is a batch-level pool resource (streaming/pool.py).
+                    seed = self._session_seed
+                    self._session_seed += 1
             session = None
             if self._needs_audio:
                 from ddsp_pytorch_tpu.export import make_streaming_mfcc

@@ -52,8 +52,8 @@ def test_bundle_loads_and_renders(bundle):
     # the rendered reverb impulse ships next to the bundle (README.md:99)
     name = os.path.basename(bundle)[len("ddsp_"):-len("_bundle")]
     impulse = os.path.join(REPO, "pretrained", f"ddsp_{name}_impulse.wav")
-    if "reverb" in meta.get("params", {}) or os.path.exists(impulse):
-        assert os.path.exists(impulse)
+    if meta["model"]["kwargs"].get("has_reverb"):
+        assert os.path.exists(impulse), f"missing {impulse}"
 
 
 @pytest.mark.slow
