@@ -237,8 +237,8 @@ class StreamingSynth:
         return self._step(
             self.params,
             state,
-            jnp.asarray(f0_frames, jnp.float32),
-            jnp.asarray(loudness_frames, jnp.float32),
+            self._as_f32(f0_frames),
+            self._as_f32(loudness_frames),
             mfcc=self._as_mfcc(mfcc_frames),
         )
 
@@ -251,27 +251,32 @@ class StreamingSynth:
         return self._step(
             self.params,
             state,
-            jnp.asarray(f0_frames, jnp.float32),
-            jnp.asarray(loudness_frames, jnp.float32),
+            self._as_f32(f0_frames),
+            self._as_f32(loudness_frames),
             jnp.asarray(active, bool),
             mfcc=self._as_mfcc(mfcc_frames),
         )
 
     @staticmethod
-    def _as_mfcc(mfcc_frames):
-        return (
-            jnp.asarray(mfcc_frames, jnp.float32)
-            if mfcc_frames is not None
-            else None
-        )
+    def _as_f32(x):
+        # Identity on device f32 arrays: through a remote-TPU transport even
+        # a no-op jnp.asarray costs a dispatch (~80 us measured) — more than
+        # the whole synth step, so the hot path must not pay it per input.
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32:
+            return x
+        return jnp.asarray(x, jnp.float32)
+
+    @classmethod
+    def _as_mfcc(cls, mfcc_frames):
+        return cls._as_f32(mfcc_frames) if mfcc_frames is not None else None
 
     def step(self, f0_frames, loudness_frames, mfcc_frames=None) -> np.ndarray:
         """Frame-rate controls (B, F, 1) → (B, F*block_size) audio."""
         audio, self.state = self._step(
             self.params,
             self.state,
-            jnp.asarray(f0_frames, jnp.float32),
-            jnp.asarray(loudness_frames, jnp.float32),
+            self._as_f32(f0_frames),
+            self._as_f32(loudness_frames),
             mfcc=self._as_mfcc(mfcc_frames),
         )
         return audio
