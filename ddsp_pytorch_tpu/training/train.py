@@ -44,6 +44,14 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     return tx
 
 
+def _as_jnp(x):
+    """Identity on jax.Arrays: a dtype-matching jnp.asarray still costs a
+    device dispatch (~80 us through a remote-TPU transport) — with the
+    device-resident loader (data/dataset.py DeviceDataLoader) batches are
+    already on device and must not pay it per key per step."""
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
 def _normalize_loudness(batch, mean, std):
     batch = dict(batch)
     batch["loudness"] = (batch["loudness"] - mean) / std
@@ -242,7 +250,7 @@ class Trainer:
         return state, False
 
     def shard_batch(self, batch):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: _as_jnp(v) for k, v in batch.items()}
         if self.mesh is not None:
             from ddsp_pytorch_tpu.parallel.sharding import shard_batch
 
@@ -257,7 +265,7 @@ class Trainer:
         batches (returns None): a consistent global assembly of unequal
         per-process remainders is not guaranteed."""
         if self.mesh is None:
-            return {k: jnp.asarray(v) for k, v in batch.items()}
+            return {k: _as_jnp(v) for k, v in batch.items()}
         n = len(next(iter(batch.values())))
         if n % self.mesh.shape["data"] == 0:
             return self.shard_batch(batch)
@@ -266,7 +274,7 @@ class Trainer:
         from ddsp_pytorch_tpu.parallel.sharding import replicated
 
         return jax.device_put(
-            {k: jnp.asarray(v) for k, v in batch.items()},
+            {k: _as_jnp(v) for k, v in batch.items()},
             replicated(self.mesh),
         )
 
