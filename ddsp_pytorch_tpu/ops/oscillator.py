@@ -120,7 +120,9 @@ def harmonic_synth_frames(
       amplitudes: (B, F, K) frame-rate per-harmonic amplitudes (already
         masked/normalized/scaled by the caller — see models/modules.py).
       phase0: optional (B,) phase carry for streaming.
-      use_pallas: 'auto' (TPU only), 'never', or 'always'.
+      use_pallas: 'auto' (TPU only), 'never', 'always', or 'interpret'
+        (the Pallas kernel in interpreter mode — CPU tests of the kernel
+        wiring, e.g. inside shard_map).
 
     Returns:
       (B, F*block_size) audio; optionally (audio, phase_out).
@@ -130,7 +132,7 @@ def harmonic_synth_frames(
     phi, phase_out = phase_accumulate_frames(f0, block_size, sample_rate, phase0)
 
     backend = jax.default_backend()
-    wants_pallas = use_pallas == "always" or (
+    wants_pallas = use_pallas in ("always", "interpret") or (
         use_pallas == "auto" and backend == "tpu"
     )
     if wants_pallas:
@@ -139,7 +141,8 @@ def harmonic_synth_frames(
         )
 
         audio = harmonic_synth_pallas(
-            f0, amplitudes, phi, block_size, float(sample_rate)
+            f0, amplitudes, phi, block_size, float(sample_rate),
+            interpret=use_pallas == "interpret",
         )
     else:  # pure-XLA path (CPU tests, or use_pallas='never')
         audio = _harmonic_synth_frames_xla(

@@ -88,6 +88,23 @@ def _bwd_kernel(
     domega_ref[:] = jnp.sum(dtheta * ramp, axis=-1, keepdims=True)
 
 
+def _vma(*xs):
+    """Union of the inputs' varying-mesh-axes, for pallas_call out_shapes.
+
+    Inside jax.shard_map (the time-sharded synthesis path, parallel/ops.py)
+    every aval carries a `vma` set and pallas_call outputs must declare
+    theirs (JAX ≥0.9 check_vma); the kernel's outputs vary exactly over the
+    axes its inputs vary over.  Outside shard_map this is the empty set.
+    """
+    typeof = getattr(jax, "typeof", None)
+    if typeof is None:  # pre-vma JAX: omit (the check does not exist there)
+        return None
+    out = frozenset()
+    for x in xs:
+        out = out | getattr(typeof(x), "vma", frozenset())
+    return out
+
+
 def _row_specs(n_harmonic, block_size):
     row = lambda i: (i, 0)
     return dict(
@@ -115,7 +132,9 @@ def _osc_rows_fwd(phi, omega, amp, block_size, interpret):
         grid=(rows // _TILE_R,),
         in_specs=[specs["phi"], specs["omega"], specs["amp"]],
         out_specs=specs["audio"],
-        out_shape=jax.ShapeDtypeStruct((rows, block_size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows, block_size), jnp.float32, vma=_vma(phi, omega, amp)
+        ),
         cost_estimate=pl.CostEstimate(
             flops=rows * flops_per_row,
             bytes_accessed=4 * rows * (2 * block_size + n_harmonic + 2),
@@ -138,9 +157,11 @@ def _osc_rows_bwd(block_size, interpret, residuals, g):
         in_specs=[specs["phi"], specs["omega"], specs["amp"], specs["audio"]],
         out_specs=(specs["phi"], specs["omega"], specs["amp"]),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rows, n_harmonic), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32, vma=_vma(phi, omega, amp, g)),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32, vma=_vma(phi, omega, amp, g)),
+            jax.ShapeDtypeStruct(
+                (rows, n_harmonic), jnp.float32, vma=_vma(phi, omega, amp, g)
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * rows * block_size * n_harmonic,

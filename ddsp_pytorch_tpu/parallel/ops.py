@@ -96,13 +96,16 @@ def sharded_harmonic_synth(
     from ddsp_pytorch_tpu.ops.oscillator import _harmonic_synth_frames_xla
 
     backend = jax.default_backend()
-    if use_pallas == "always" or (use_pallas == "auto" and backend == "tpu"):
+    if use_pallas in ("always", "interpret") or (
+        use_pallas == "auto" and backend == "tpu"
+    ):
         from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import (
             harmonic_synth_pallas,
         )
 
         return harmonic_synth_pallas(
-            f0_local, amp_local, phi, block_size, float(sample_rate)
+            f0_local, amp_local, phi, block_size, float(sample_rate),
+            interpret=use_pallas == "interpret",
         )
     return _harmonic_synth_frames_xla(
         f0_local, amp_local, phi, block_size, float(sample_rate)
@@ -258,7 +261,13 @@ def make_time_sharded_synth(
     mesh: Mesh, block_size: int, sample_rate: float, use_pallas: str = "auto"
 ):
     """jit-able (f0 (B, F), amp (B, F, K)) → (B, T) with F sharded over
-    'time' and B over 'data'."""
+    'time' and B over 'data'.
+
+    The compiled Pallas kernel declares its outputs' varying mesh axes
+    (pallas_kernels/oscillator.py _vma), so check_vma stays on; Pallas
+    *interpret* mode (CPU tests) trips a check inside JAX's own
+    hlo_interpreter, so that combination turns the check off.
+    """
 
     def fn(f0, amp):
         return sharded_harmonic_synth(
@@ -270,6 +279,7 @@ def make_time_sharded_synth(
         mesh=mesh,
         in_specs=(P("data", "time"), P("data", "time", None)),
         out_specs=P("data", "time"),
+        check_vma=use_pallas != "interpret",
     )
 
 

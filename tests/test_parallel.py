@@ -42,6 +42,25 @@ def test_time_sharded_harmonic_synth_matches_unsharded(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_time_sharded_synth_pallas_kernel_in_shard_map(rng):
+    """The PALLAS oscillator inside shard_map (interpret mode on the CPU
+    mesh) — pins the pallas_call out_shape vma declarations that JAX >= 0.9
+    check_vma requires; the TPU long-form path (use_pallas='auto' under a
+    ('data','time') mesh) hits exactly this wiring."""
+    b, f, k, block, sr = 2, 64, 8, 64, 16000
+    f0 = jnp.asarray(rng.uniform(100, 400, (b, f)).astype(np.float32))
+    amp = jnp.asarray((rng.random((b, f, k)) / k).astype(np.float32))
+
+    want = harmonic_synth_frames(f0, amp, block, sr, use_pallas="never")
+
+    mesh = make_mesh(data=2, time=4)
+    synth = jax.jit(
+        make_time_sharded_synth(mesh, block, sr, use_pallas="interpret")
+    )
+    got = synth(f0, amp)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_time_sharded_loss_matches_unsharded(rng):
     b, t = 2, 8192
     scales, overlap = [512, 256, 128], 0.75

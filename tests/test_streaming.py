@@ -150,3 +150,27 @@ def test_deterministic_noise_mode(setup):
     synth.reset()
     b1 = np.asarray(synth.step_samples(pitch, loud))
     np.testing.assert_allclose(a1, b1)
+
+
+def test_device_array_inputs_match_numpy_inputs(setup):
+    """The hot-path fast path (streaming._as_f32 returns device f32 arrays
+    untouched — no per-input dispatch) must be behavior-identical to numpy
+    inputs; also guards dtype coercion for f64/i32 hosts arrays."""
+    import jax.numpy as jnp
+
+    cfg, model, params, batch, rng = setup
+    f = 4
+    f0_np = np.full((1, f, 1), 220.0, np.float32)
+    lo_np = np.zeros((1, f, 1), np.float32)
+
+    synth = StreamingSynth(model, params, batch=1)
+    a_np = np.asarray(synth.step(f0_np, lo_np))
+    synth.reset()
+    a_dev = np.asarray(synth.step(jnp.asarray(f0_np), jnp.asarray(lo_np)))
+    np.testing.assert_array_equal(a_np, a_dev)
+
+    synth.reset()
+    a_f64 = np.asarray(
+        synth.step(f0_np.astype(np.float64), lo_np.astype(np.float64))
+    )
+    np.testing.assert_array_equal(a_np, a_f64)
