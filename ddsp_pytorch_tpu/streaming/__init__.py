@@ -262,7 +262,14 @@ class StreamingSynth:
         # Identity on device f32 arrays: through a remote-TPU transport even
         # a no-op jnp.asarray costs a dispatch (~80 us measured) — more than
         # the whole synth step, so the hot path must not pay it per input.
-        if isinstance(x, jax.Array) and x.dtype == jnp.float32:
+        # Weak-typed arrays (e.g. jnp.full with a Python float) still take
+        # the asarray path: passing them through would change the jit cache
+        # key and silently retrace the step.
+        if (
+            isinstance(x, jax.Array)
+            and x.dtype == jnp.float32
+            and not getattr(x.aval, "weak_type", False)
+        ):
             return x
         return jnp.asarray(x, jnp.float32)
 

@@ -18,11 +18,16 @@ import time
 
 def run_benchmark(
     bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto",
-    config=None,
+    config=None, protocol_runs: int = 1, discard_first: bool = False,
 ):
     """Benchmark a bundle, a given Config's model (random weights), or the
     default Config.  bench.py delegates here with its north-star config so
-    the driver metric and this CLI always measure the same protocol."""
+    the driver metric and this CLI always measure the same protocol.
+
+    protocol_runs > 1 repeats the timed protocol (mean of n_run blocked
+    calls) on the SAME compiled synth and reports the best mean — one
+    model build + compile total.  discard_first additionally throws away
+    the first protocol run (tunnel transients right after compile)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,12 +81,18 @@ def run_benchmark(
     # warmup (compile)
     jax.block_until_ready(synth.step(f0, lo))
 
-    mean = 0.0
-    for i in range(n_run):
-        st = time.perf_counter()
-        out = synth.step(f0, lo)
-        jax.block_until_ready(out)
-        mean += (time.perf_counter() - st - mean) / (i + 1)
+    def protocol_mean():
+        mean = 0.0
+        for i in range(n_run):
+            st = time.perf_counter()
+            out = synth.step(f0, lo)
+            jax.block_until_ready(out)
+            mean += (time.perf_counter() - st - mean) / (i + 1)
+        return mean
+
+    if discard_first:
+        protocol_mean()
+    mean = min(protocol_mean() for _ in range(max(1, protocol_runs)))
 
     realtime = batch * n / (mean * sr)
     return {

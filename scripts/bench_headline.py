@@ -280,7 +280,13 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--configs", default="1,2,3,4,5")
     args = p.parse_args()
-    wanted = sorted({int(c) for c in args.configs.split(",")})
+    try:
+        wanted = sorted({int(c) for c in args.configs.split(",")})
+    except ValueError:
+        p.error(f"--configs must be comma-separated integers, got {args.configs!r}")
+    bad = [c for c in wanted if c not in (1, 2, 3, 4, 5)]
+    if bad:
+        p.error(f"unknown config id(s) {bad}; valid: 1-5")
 
     if 1 in wanted and len(wanted) > 1:
         # config 1 pins the process to CPU — run it isolated

@@ -164,3 +164,21 @@ def test_longform_autoencoder_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded_audio), np.asarray(harm + noi), atol=2e-3
     )
+
+
+def test_longform_pallas_interpret_path(setup):
+    """LongFormSynthesizer with use_pallas='interpret': the PALLAS kernel
+    wiring through the production shard_map on the CPU mesh (regression:
+    the interpret flag once reached sharded_harmonic_synth but the
+    surrounding shard_map kept check_vma=True, which JAX's interpreter
+    trips over).  Matches the XLA-path synthesizer to kernel tolerance."""
+    cfg, model, params, f0, loud = setup
+    mesh = make_mesh(data=2, time=4)
+    rng = jax.random.PRNGKey(7)
+    want = LongFormSynthesizer(model, params, mesh, use_pallas="never").synthesize(
+        f0, loud, rng=rng
+    )
+    got = LongFormSynthesizer(
+        model, params, mesh, use_pallas="interpret"
+    ).synthesize(f0, loud, rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

@@ -43,10 +43,12 @@ def test_time_sharded_harmonic_synth_matches_unsharded(rng):
 
 
 def test_time_sharded_synth_pallas_kernel_in_shard_map(rng):
-    """The PALLAS oscillator inside shard_map (interpret mode on the CPU
-    mesh) — pins the pallas_call out_shape vma declarations that JAX >= 0.9
-    check_vma requires; the TPU long-form path (use_pallas='auto' under a
-    ('data','time') mesh) hits exactly this wiring."""
+    """The PALLAS oscillator inside shard_map, interpret mode on the CPU
+    mesh — the wiring (grid, BlockSpecs, padding, row flattening) that the
+    TPU long-form path (use_pallas='auto' under a ('data','time') mesh)
+    compiles.  Interpret mode requires check_vma=False (JAX's own
+    hlo_interpreter is not vma-clean), so the out_shape vma declarations
+    are pinned separately by test_pallas_out_shape_vma_declaration."""
     b, f, k, block, sr = 2, 64, 8, 64, 16000
     f0 = jnp.asarray(rng.uniform(100, 400, (b, f)).astype(np.float32))
     amp = jnp.asarray((rng.random((b, f, k)) / k).astype(np.float32))
@@ -59,6 +61,41 @@ def test_time_sharded_synth_pallas_kernel_in_shard_map(rng):
     )
     got = synth(f0, amp)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pallas_out_shape_vma_declaration(rng):
+    """_vma must derive the union of the inputs' varying mesh axes inside
+    shard_map with the check ON — the declaration the compiled TPU kernel
+    (check_vma=True) relies on.  Captured at trace time: the pallas_call
+    itself cannot run compiled on CPU."""
+    from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import _vma
+
+    seen = {}
+
+    def body(x, y):
+        seen["vma"] = _vma(x, y)
+        return x * jnp.sum(y)
+
+    mesh = make_mesh(data=2, time=4)
+    from jax.sharding import PartitionSpec as P
+    from ddsp_pytorch_tpu.parallel.ops import checked_shard_map
+
+    f = jax.jit(
+        checked_shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data", "time"), P(None, "time")),
+            out_specs=P("data", "time"),
+            check=True,
+        )
+    )
+    x = jnp.ones((2, 8), jnp.float32)
+    y = jnp.ones((1, 8), jnp.float32)
+    jax.block_until_ready(f(x, y))
+    assert seen["vma"] == frozenset({"data", "time"})
+
+    # outside shard_map: empty set (and never None on this JAX)
+    assert _vma(x) == frozenset()
 
 
 def test_time_sharded_loss_matches_unsharded(rng):
