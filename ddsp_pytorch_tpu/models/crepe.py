@@ -165,22 +165,40 @@ def _resample_kernel(up: int, down: int, taps_per_phase: int = 32) -> np.ndarray
 
 
 def resample_to_model_rate(signal: jax.Array, sample_rate: int) -> jax.Array:
-    """(T,) at sample_rate → (T·16000/sr,) at 16 kHz (polyphase sinc)."""
+    """(T,) at sample_rate → (T·16000/sr,) at 16 kHz (polyphase sinc).
+
+    True polyphase evaluation: output q is an inner product of the ≤
+    ⌈L/up⌉+1 *original-rate* input samples its sinc window touches — the
+    zero-stuffed up-rate signal (up to 160× T) and the O(T·up·L) direct
+    convolution over it never exist.  y[q] = Σ_i x[i]·k̃[i·up + P − q·down]
+    (k̃ = flipped kernel, P = L//2), identical math to zero-stuff → conv
+    'valid' → [::down], which at 44.1 kHz → 16 kHz would be ~1e12 MACs for
+    a 15 s clip versus ~2e7 here."""
     if sample_rate == MODEL_SRATE:
         return signal
     g = math.gcd(int(sample_rate), MODEL_SRATE)
     up, down = MODEL_SRATE // g, sample_rate // g
-    kernel = jnp.asarray(_resample_kernel(up, down))
-    t = signal.shape[-1]
-    if up > 1:
-        stuffed = jnp.zeros((t, up), signal.dtype).at[:, 0].set(signal)
-        x = stuffed.reshape(-1)
-    else:
-        x = signal
-    pad = kernel.shape[0] // 2
-    x = jnp.pad(x, (pad, pad))
-    y = jnp.convolve(x, kernel, mode="valid")
-    return y[::down]
+    kernel = _resample_kernel(up, down)
+    length = kernel.shape[0]
+    pad = length // 2
+    t = int(signal.shape[-1])
+    t_out = -(-t * up // down)  # ceil: len(zero-stuffed conv output) / down
+
+    flipped = kernel[::-1].copy()
+    window = (length - 1) // up + 2  # inputs touching one output
+    q = np.arange(t_out, dtype=np.int64)
+    s = q * down - pad
+    i0 = -((-s) // up)  # ceil(s / up): first input index with a valid tap
+    i_mat = i0[:, None] + np.arange(window, dtype=np.int64)[None, :]
+    j_mat = i_mat * up - s[:, None]  # tap index per (output, window slot)
+    valid = (j_mat >= 0) & (j_mat < length) & (i_mat >= 0) & (i_mat < t)
+    taps = np.where(
+        valid, flipped[np.clip(j_mat, 0, length - 1)], 0.0
+    ).astype(np.float32)
+    idx = np.clip(i_mat, 0, t - 1)
+    return jnp.einsum(
+        "qw,qw->q", jnp.asarray(signal)[idx], jnp.asarray(taps)
+    )
 
 
 @functools.lru_cache(maxsize=None)

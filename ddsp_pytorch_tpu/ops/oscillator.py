@@ -103,6 +103,36 @@ def _harmonic_synth_frames_xla(
     return out.reshape(b, f * block_size)
 
 
+def synth_from_phases(
+    f0: jax.Array,
+    amplitudes: jax.Array,
+    phi: jax.Array,
+    block_size: int,
+    sample_rate: float,
+    use_pallas: str = "auto",
+) -> jax.Array:
+    """Backend dispatch for the frame-factored bank, given precomputed
+    frame-start phases (the single home of the use_pallas rule — shared by
+    harmonic_synth_frames and the time-sharded parallel/ops path, whose phi
+    carries the cross-shard offset)."""
+    backend = jax.default_backend()
+    wants_pallas = use_pallas in ("always", "interpret") or (
+        use_pallas == "auto" and backend == "tpu"
+    )
+    if wants_pallas:
+        from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import (
+            harmonic_synth_pallas,
+        )
+
+        return harmonic_synth_pallas(
+            f0, amplitudes, phi, block_size, float(sample_rate),
+            interpret=use_pallas == "interpret",
+        )
+    return _harmonic_synth_frames_xla(
+        f0, amplitudes, phi, block_size, float(sample_rate)
+    )
+
+
 def harmonic_synth_frames(
     f0: jax.Array,
     amplitudes: jax.Array,
@@ -130,24 +160,9 @@ def harmonic_synth_frames(
     if f0.ndim == 3:
         f0 = f0[..., 0]
     phi, phase_out = phase_accumulate_frames(f0, block_size, sample_rate, phase0)
-
-    backend = jax.default_backend()
-    wants_pallas = use_pallas in ("always", "interpret") or (
-        use_pallas == "auto" and backend == "tpu"
+    audio = synth_from_phases(
+        f0, amplitudes, phi, block_size, sample_rate, use_pallas
     )
-    if wants_pallas:
-        from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import (
-            harmonic_synth_pallas,
-        )
-
-        audio = harmonic_synth_pallas(
-            f0, amplitudes, phi, block_size, float(sample_rate),
-            interpret=use_pallas == "interpret",
-        )
-    else:  # pure-XLA path (CPU tests, or use_pallas='never')
-        audio = _harmonic_synth_frames_xla(
-            f0, amplitudes, phi, block_size, float(sample_rate)
-        )
     if return_phase:
         return audio, phase_out
     return audio

@@ -200,13 +200,15 @@ def amplitude_to_db(s: jax.Array, amin: float = 1e-5, top_db: float = 80.0):
 
 
 def stft_to_mel(stft_mag: jax.Array, sample_rate: int, n_fft: int) -> jax.Array:
-    """Mel spectrogram from a magnitude STFT (librosa melspectrogram(S=...)):
-    power = |S|^2 projected through the mel filterbank."""
+    """Mel spectrogram from a magnitude STFT, reference semantics
+    (utils.py:49-50): librosa.feature.melspectrogram(S=...) uses the given
+    spectrogram AS-IS — no power exponent is applied when S is provided —
+    so the magnitudes project straight through the mel filterbank.  (The
+    reconstruction reports' dB scale matches the reference's figures.)"""
     fb = jnp.asarray(
         mel_filterbank(sample_rate, n_fft, 128, 0.0, sample_rate / 2.0)
     )
-    power = jnp.square(stft_mag)
-    return jnp.einsum("mf,...ft->...mt", fb, power)
+    return jnp.einsum("mf,...ft->...mt", fb, stft_mag)
 
 
 def mfcc(

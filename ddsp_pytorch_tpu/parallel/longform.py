@@ -52,6 +52,7 @@ class LongFormSynthesizer:
         self.include_reverb = include_reverb and model.has_reverb
         self.mean_loudness = mean_loudness
         self.std_loudness = std_loudness
+        self._noise_jits = {}  # (B, F) -> sharded-output noise draw
 
         rep = NamedSharding(mesh, P())
         voices = NamedSharding(mesh, P("data"))
@@ -91,14 +92,10 @@ class LongFormSynthesizer:
             audio = sharded_harmonic_synth(
                 f0, amp, block, sr, use_pallas=use_pallas
             )
-            from ddsp_pytorch_tpu.ops.filters import (
-                amp_to_impulse_response,
-                fft_convolve,
-            )
+            from ddsp_pytorch_tpu.ops.filters import filtered_noise
 
-            impulse = amp_to_impulse_response(mags, block)
-            noise_audio = fft_convolve(noise, impulse).reshape(audio.shape)
-            audio = audio + noise_audio
+            # the exact synth used in training/streaming, injected noise
+            audio = audio + filtered_noise(mags, block, None, noise=noise)
             if ir is not None:
                 audio = sharded_fft_convolve_causal(audio, ir)
             return audio
@@ -135,6 +132,26 @@ class LongFormSynthesizer:
                 )
             )
 
+    def _draw_noise(self, b: int, f: int):
+        """Sharding-aware noise draw: jit with a ('data','time')-sharded
+        output so each device generates only its (B, F, S) slice — the
+        full-signal-sized noise tensor must never exist on one device (a
+        256-voice x 10-min draw is ~29 GB, the module docstring's point).
+        Threefry is partitionable, so the values equal an unsharded draw."""
+        key = (b, f)
+        fn = self._noise_jits.get(key)
+        if fn is None:
+            shape = (b, f, self.block_size)
+            fn = jax.jit(
+                lambda rng: jax.random.uniform(rng, shape, jnp.float32) * 2.0
+                - 1.0,
+                out_shardings=NamedSharding(
+                    self.mesh, P("data", "time", None)
+                ),
+            )
+            self._noise_jits[key] = fn
+        return lambda rng: fn(rng)
+
     def _reverb_ir(self):
         from ddsp_pytorch_tpu.models.modules import Reverb
 
@@ -164,11 +181,7 @@ class LongFormSynthesizer:
         )
         mags = noise_ctrls["magnitudes"]
         b, f = f0.shape[0], f0.shape[1]
-        noise = (
-            jax.random.uniform(rng, (b, f, self.block_size), jnp.float32) * 2.0
-            - 1.0
-        )
-        noise = jax.device_put(noise, NamedSharding(self.mesh, P("data", "time")))
+        noise = self._draw_noise(b, f)(rng)
         f0_2d = f0[..., 0]
         if self.include_reverb:
             return self._dsp(f0_2d, amp, mags, noise, self._reverb_ir())

@@ -33,7 +33,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ddsp_pytorch_tpu.ops.oscillator import harmonic_synth_frames
 from ddsp_pytorch_tpu.ops.spectral import frame_signal, hann_window
@@ -111,25 +111,13 @@ def sharded_harmonic_synth(
     audio.  Exactly the unsharded result on each shard's span.
     """
     phi, _ = sharded_phase_offsets(f0_local, block_size, sample_rate, axis)
-    # Local synthesis with phase0=0 and pre-offset phi: reuse the single-chip
-    # path by overriding its internally-computed phi — achieved by calling
-    # the row-level primitive directly.
-    from ddsp_pytorch_tpu.ops.oscillator import _harmonic_synth_frames_xla
+    # Local synthesis with pre-offset phi: the single-chip backend dispatch
+    # (ops/oscillator.py synth_from_phases) is reused verbatim, so the
+    # sharded and unsharded paths can never pick different kernels.
+    from ddsp_pytorch_tpu.ops.oscillator import synth_from_phases
 
-    backend = jax.default_backend()
-    if use_pallas in ("always", "interpret") or (
-        use_pallas == "auto" and backend == "tpu"
-    ):
-        from ddsp_pytorch_tpu.ops.pallas_kernels.oscillator import (
-            harmonic_synth_pallas,
-        )
-
-        return harmonic_synth_pallas(
-            f0_local, amp_local, phi, block_size, float(sample_rate),
-            interpret=use_pallas == "interpret",
-        )
-    return _harmonic_synth_frames_xla(
-        f0_local, amp_local, phi, block_size, float(sample_rate)
+    return synth_from_phases(
+        f0_local, amp_local, phi, block_size, sample_rate, use_pallas
     )
 
 

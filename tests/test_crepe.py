@@ -194,3 +194,27 @@ def test_micro_training_learns_pitch():
     assert err_trained < 0.5 * err_untrained, (
         f"no pitch signal learned: {err_untrained:.0f} → {err_trained:.0f} cents"
     )
+
+
+def test_resampler_matches_direct_zero_stuffed_convolution():
+    """The polyphase evaluation must equal the literal zero-stuff →
+    convolve('valid') → [::down] formulation it replaces, including the
+    awkward rational ratio (44.1 kHz → 16 kHz: up=160, down=441)."""
+    from ddsp_pytorch_tpu.models.crepe import _resample_kernel
+
+    rng = np.random.default_rng(0)
+    for sr in (48000, 44100, 22050):
+        g = math.gcd(sr, MODEL_SRATE)
+        up, down = MODEL_SRATE // g, sr // g
+        t = 2000
+        x = rng.standard_normal(t).astype(np.float32)
+
+        kernel = _resample_kernel(up, down)
+        stuffed = np.zeros((t, up), np.float32)
+        stuffed[:, 0] = x
+        xp = np.pad(stuffed.reshape(-1), (kernel.shape[0] // 2,) * 2)
+        want = np.convolve(xp, kernel, mode="valid")[::down]
+
+        got = np.asarray(resample_to_model_rate(jnp.asarray(x), sr))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
