@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# One-command verification of the whole framework (the CI drive referenced
+# in PARITY.md §2.6): Python suite on the 8-device virtual CPU mesh, native
+# runtime build + ctest (plain, TSAN, ASAN+UBSAN), the ctypes pipeline
+# selftest, and the driver's multi-chip dry run.
+#
+# Usage: scripts/ci.sh [--fast]   (--fast skips the sanitizer builds)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+FAST=0
+[[ "${1:-}" == "--fast" ]] && FAST=1
+
+echo "== 1/4 Python suite (virtual 8-device CPU mesh)"
+python -m pytest tests/ -x -q
+
+echo "== 2/4 Native runtime: build + ctest"
+BUILD=ddsp_pytorch_tpu/runtime/build
+SAN_FLAGS=()
+if [[ $FAST -eq 0 ]]; then
+  SAN_FLAGS=(-DDDSP_TSAN=ON -DDDSP_ASAN=ON)
+fi
+cmake -S ddsp_pytorch_tpu/runtime -B "$BUILD" "${SAN_FLAGS[@]}" >/dev/null
+cmake --build "$BUILD" -j >/dev/null
+ctest --test-dir "$BUILD" --output-on-failure
+
+echo "== 3/4 ctypes pipeline selftest (C engine + embedded-Python model host)"
+JAX_PLATFORMS='' python - <<'PY'
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from ddsp_pytorch_tpu.runtime import selftest
+sys.exit(selftest.main())
+PY
+
+echo "== 4/4 Driver contract: multi-chip dry run (8-device virtual mesh)"
+JAX_PLATFORMS='' XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print('dryrun_multichip(8): OK')
+"
+
+echo "CI: all green"
