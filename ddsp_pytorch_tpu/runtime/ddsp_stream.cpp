@@ -123,6 +123,11 @@ int ddsp_stream_latency(const ddsp_stream_engine *engine) {
   return e ? 2 * e->block_size : 0;
 }
 
+int ddsp_stream_block(const ddsp_stream_engine *engine) {
+  auto *e = reinterpret_cast<const Engine *>(engine);
+  return e ? e->block_size : 0;
+}
+
 int64_t ddsp_stream_blocks_rendered(const ddsp_stream_engine *engine) {
   auto *e = reinterpret_cast<const Engine *>(engine);
   return e ? e->blocks_rendered.load(std::memory_order_relaxed) : 0;

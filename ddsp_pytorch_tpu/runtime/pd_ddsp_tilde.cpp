@@ -39,6 +39,7 @@ struct t_ddsp_tilde {
 
   ddsp_model *model;
   ddsp_stream_engine *engine;
+  int process_error_posted; /* one-shot diagnostic for perform failures */
 };
 
 static void render_cb(const float *pitch, const float *loudness, float *out,
@@ -56,6 +57,7 @@ static void *ddsp_tilde_new() {
   x->out_audio = outlet_new(&x->x_obj, &s_signal);
   x->model = nullptr;
   x->engine = nullptr;
+  x->process_error_posted = 0;
   ddsp_runtime_init(nullptr);
   return (void *)x;
 }
@@ -98,7 +100,19 @@ static t_int *ddsp_tilde_perform(t_int *w) {
   int n = (int)(w[5]);
 
   if (x->engine) {
-    ddsp_stream_process(x->engine, pitch, loudness, out, n);
+    if (ddsp_stream_process(x->engine, pitch, loudness, out, n) != 0) {
+      /* e.g. a patch reblocked so the tick no longer divides the engine
+       * block: emit silence, never the stale contents of Pd's reused DSP
+       * buffer, and say why once. */
+      std::memset(out, 0, n * sizeof(float));
+      if (!x->process_error_posted) {
+        x->process_error_posted = 1;
+        post("ddsp~: vector size %d incompatible with engine block %d — "
+             "outputting silence (use a power-of-two block~ that divides "
+             "the model block)",
+             n, ddsp_stream_block(x->engine));
+      }
+    }
   } else {
     std::memset(out, 0, n * sizeof(float));
   }

@@ -413,8 +413,20 @@ class Trainer:
         buf = []  # batches awaiting a full steps_per_call super-batch
         for epoch in range(start_epoch, n_epochs):
             train_loader.set_epoch(epoch)
+            # A mid-epoch resume (preemption checkpoints at arbitrary
+            # steps) must not replay batches already trained: skip the
+            # first start_step % steps_per_epoch batches of the resumed
+            # epoch so the step→batch mapping matches an uninterrupted
+            # run (dataset order is deterministic per epoch).
+            skip = (
+                start_step % max(1, steps_per_epoch)
+                if epoch == start_epoch
+                else 0
+            )
             stop = False
-            for batch in train_loader:
+            for batch_index, batch in enumerate(train_loader):
+                if batch_index < skip:
+                    continue
                 prev_step = step
                 use_multi = (
                     self._multi_step is not None
