@@ -165,6 +165,19 @@ class ControlProjectionMixin:
         noise_ctrls = self.noise_synth.get_controls(magnitudes)
         return harmonic_ctrls, noise_ctrls
 
+    def sample_noise(self, f0: jax.Array) -> jax.Array:
+        """(B, F, block_size) noise, bit-identical to the internal draw of
+        __call__ (FilteredNoise.sample) — apply with the same
+        rngs={'noise': key}.  Used by the time-sharded train step."""
+        return self.noise_synth.sample(f0.shape[0], f0.shape[1])
+
+    def reverb_impulse(self) -> jax.Array:
+        """(sample_rate,) trained reverb IR (requires has_reverb).  The
+        time-sharded train step applies it via the halo'd causal convolution
+        (parallel/ops.py sharded_fft_convolve_causal) instead of the in-model
+        full-signal fft_convolve."""
+        return self.reverb.build_impulse()
+
 
 class DDSPDecoder(ControlProjectionMixin, nn.Module):
     """The "single-inst-decoder" model (reference decoder.py:70-191).

@@ -110,6 +110,22 @@ class FilteredNoise(nn.Module):
             rng = None
         return ops.filtered_noise(magnitudes, self.block_size, rng, noise=noise)
 
+    def sample(self, b: int, f: int) -> jax.Array:
+        """Draw the (b, f, block_size) uniform noise __call__ would draw.
+
+        Same module scope, same rng collection, first make_rng of the apply
+        → the SAME key flax hands ops.filtered_noise inside the full forward
+        (ops/filters.py:91-94 draws with this shape/dtype).  The time-sharded
+        train step (training/time_sharded.py) uses this so its externally
+        injected noise is bit-identical to the unsharded model.apply's
+        internal draw — the equivalence tests rely on it.
+        """
+        rng = self.make_rng("noise")
+        return (
+            jax.random.uniform(rng, (b, f, self.block_size), jnp.float32) * 2.0
+            - 1.0
+        )
+
     @staticmethod
     def plot(ax, ctrls: dict, index: int = 0):
         """Noise-magnitude heatmap (reference modules.py:130-146)."""

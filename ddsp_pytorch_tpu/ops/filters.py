@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ddsp_pytorch_tpu.ops.fft import irfft, rfft
 from ddsp_pytorch_tpu.ops.spectral import hann_window
 
 
@@ -35,7 +36,9 @@ def amp_to_impulse_response(amp: jax.Array, target_size: int) -> jax.Array:
       (..., target_size) impulse responses.
     """
     # Real, zero-phase spectrum → even impulse response via irfft.
-    impulse = jnp.fft.irfft(amp.astype(jnp.complex64), axis=-1)
+    # (ops.fft wrapper: differentiable inside shard_map with check_vma on —
+    # the time-sharded train step runs the noise branch there.)
+    impulse = irfft(amp.astype(jnp.complex64))
     filter_size = impulse.shape[-1]  # 2 * (n_bands - 1)
 
     # Center the response, apply a Hann taper, then undo the roll so the
@@ -63,7 +66,7 @@ def fft_convolve(signal: jax.Array, kernel: jax.Array) -> jax.Array:
     ker_pad = [(0, 0)] * (kernel.ndim - 1) + [(kernel.shape[-1], 0)]
     signal = jnp.pad(signal, sig_pad)
     kernel = jnp.pad(kernel, ker_pad)
-    out = jnp.fft.irfft(jnp.fft.rfft(signal) * jnp.fft.rfft(kernel))
+    out = irfft(rfft(signal) * rfft(kernel))
     return out[..., out.shape[-1] // 2 :]
 
 

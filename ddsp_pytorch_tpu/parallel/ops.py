@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ddsp_pytorch_tpu.ops.fft import irfft, rfft
 from ddsp_pytorch_tpu.ops.oscillator import harmonic_synth_frames
 from ddsp_pytorch_tpu.ops.spectral import frame_signal, hann_window
 
@@ -140,8 +141,9 @@ def sharded_fft_convolve_causal(
     b, c = x_local.shape
     l = ir.shape[-1]
     n_fft = 1 << int(np.ceil(np.log2(c + l)))
-    full = jnp.fft.irfft(
-        jnp.fft.rfft(x_local, n_fft) * jnp.fft.rfft(ir, n_fft)[None, :], n_fft
+    # ops.fft wrappers: differentiable inside shard_map with check_vma on
+    full = irfft(
+        rfft(x_local, n_fft) * rfft(ir, n_fft)[None, :], n_fft
     )[:, : c + l - 1]
 
     out = full[:, :c]
@@ -213,7 +215,7 @@ def sharded_scale_mags(
     # 1 + (c + 2*pad - n_fft)//hop = 1 + c//hop  (2*pad == n_fft)
     frames = frame_signal(ext, n_fft, hop)
     win = hann_window(n_fft, dtype=x_local.dtype)
-    spec = jnp.fft.rfft(frames * win)
+    spec = rfft(frames * win)
     mags = jnp.abs(spec) * (1.0 / np.sqrt(n_fft))  # torch normalized=True
 
     n = jax.lax.axis_size(axis)

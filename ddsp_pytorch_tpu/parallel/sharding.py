@@ -84,3 +84,91 @@ def shard_train_step(train_step: Callable, mesh: Mesh) -> Callable:
         out_shardings=(replicated(mesh), replicated(mesh)),
         donate_argnums=(0,),
     )
+
+
+# ------------------------------------------------ ('data','time') training
+
+def _time_batch_spec(key: str, lead: int = 0) -> P:
+    """PartitionSpec for one batch entry under time-sharded training.
+
+    Audio ('sig') shards samples over 'time'; frame-rate controls (pitch /
+    loudness / mfcc) stay whole per data shard — the GRU scan needs all
+    frames (training/time_sharded.py) and the DSP stage reshards them
+    internally via its shard_map in_specs.  `lead` prepends unsharded axes
+    (1 for the (n_steps, ...) super-batch).
+    """
+    head = (None,) * lead
+    if key == "sig":
+        return P(*head, "data", "time")
+    return P(*head, "data")
+
+
+def time_batch_sharding(batch: Any, mesh: Mesh, lead: int = 0) -> Any:
+    return {
+        k: NamedSharding(mesh, _time_batch_spec(k, lead)) for k in batch
+    }
+
+
+def shard_time_batch(batch: Any, mesh: Mesh, lead: int = 0) -> Any:
+    """Place a batch for the time-sharded train step: sig over
+    ('data','time'), frame-rate controls over 'data' only."""
+    shardings = time_batch_sharding(batch, mesh, lead)
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, shardings[k]) for k, v in batch.items()
+        }
+    import numpy as np
+
+    return {
+        k: jax.make_array_from_process_local_data(shardings[k], np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
+def shard_time_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """pjit the time-sharded train step (training/time_sharded.py): state
+    replicated+donated, sig over ('data','time'), controls over 'data'."""
+
+    _cache = {}
+
+    def jitted(state, batch):
+        key = tuple(sorted(batch))
+        fn = _cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                train_step,
+                in_shardings=(
+                    replicated(mesh),
+                    time_batch_sharding(batch, mesh),
+                ),
+                out_shardings=(replicated(mesh), replicated(mesh)),
+                donate_argnums=(0,),
+            )
+            _cache[key] = fn
+        return fn(state, batch)
+
+    return jitted
+
+
+def shard_time_train_multi_step(multi_step: Callable, mesh: Mesh) -> Callable:
+    """pjit the scanned time-sharded multi-step: super-batch axis 0 whole,
+    sig over (None,'data','time'), controls over (None,'data')."""
+    _cache = {}
+
+    def jitted(state, batches):
+        key = tuple(sorted(batches))
+        fn = _cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                multi_step,
+                in_shardings=(
+                    replicated(mesh),
+                    time_batch_sharding(batches, mesh, lead=1),
+                ),
+                out_shardings=(replicated(mesh), replicated(mesh)),
+                donate_argnums=(0,),
+            )
+            _cache[key] = fn
+        return fn(state, batches)
+
+    return jitted

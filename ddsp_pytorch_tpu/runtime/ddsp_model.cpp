@@ -4,6 +4,10 @@
 
 #include <Python.h>
 
+#ifndef _WIN32
+#include <dlfcn.h>
+#endif
+
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -12,6 +16,47 @@
 namespace {
 
 bool g_initialized = false;
+
+/* When this library arrives via dlopen (a Pd external loads ddsp~.pd_linux
+ * which depends on us), libpython is loaded RTLD_LOCAL and CPython's own
+ * extension modules (math, _datetime, numpy's C core, ...) then fail with
+ * "undefined symbol: PyFloat_Type".  Re-opening the already-loaded
+ * libpython with RTLD_GLOBAL|RTLD_NOLOAD promotes its symbols before the
+ * interpreter starts importing.  No-op when Python symbols live in the
+ * executable (ctypes / ddsp_host). */
+void promote_libpython_symbols() {
+#ifndef _WIN32
+  Dl_info info;
+  if (dladdr(reinterpret_cast<void *>(&Py_InitializeEx), &info) &&
+      info.dli_fname) {
+    dlopen(info.dli_fname, RTLD_NOW | RTLD_GLOBAL | RTLD_NOLOAD);
+  }
+#endif
+}
+
+/* Directory of this shared library (empty if unknown) — used to derive the
+ * repo root so an in-tree build of ddsp~ finds the package without any
+ * environment setup. */
+std::string self_library_dir() {
+#ifndef _WIN32
+  Dl_info info;
+  if (dladdr(reinterpret_cast<void *>(&ddsp_model_load), &info) &&
+      info.dli_fname) {
+    std::string p(info.dli_fname);
+    auto cut = p.find_last_of('/');
+    if (cut != std::string::npos) return p.substr(0, cut);
+  }
+#endif
+  return "";
+}
+
+void sys_path_insert(const std::string &path) {
+  if (path.empty()) return;
+  PyObject *sys_path = PySys_GetObject("path");  // borrowed
+  PyObject *p = PyUnicode_FromString(path.c_str());
+  if (sys_path && p) PyList_Insert(sys_path, 0, p);
+  Py_XDECREF(p);
+}
 
 void print_py_error(const char *where) {
   std::fprintf(stderr, "[ddsp_model] python error in %s:\n", where);
@@ -34,15 +79,29 @@ int ddsp_runtime_init(const char *extra_sys_path) {
   if (g_initialized) return 0;
   bool fresh = false;
   if (!Py_IsInitialized()) {
+    promote_libpython_symbols();
     Py_InitializeEx(0);
     fresh = true;
   }
   PyGILState_STATE gil = PyGILState_Ensure();
   if (extra_sys_path && *extra_sys_path) {
-    PyObject *sys_path = PySys_GetObject("path");  // borrowed
-    PyObject *p = PyUnicode_FromString(extra_sys_path);
-    if (sys_path && p) PyList_Insert(sys_path, 0, p);
-    Py_XDECREF(p);
+    sys_path_insert(extra_sys_path);
+  }
+  // DDSP_PYTHONPATH: explicit package location (the Pd external has no way
+  // to pass extra_sys_path from a patch).
+  if (const char *env_path = std::getenv("DDSP_PYTHONPATH")) {
+    sys_path_insert(env_path);
+  }
+  // In-tree convenience: this library lives at
+  // <repo>/ddsp_pytorch_tpu/runtime/build/libddsp_model.so — put <repo> on
+  // sys.path so `import ddsp_pytorch_tpu` works with zero configuration.
+  {
+    std::string dir = self_library_dir();
+    for (int up = 0; up < 3 && !dir.empty(); ++up) {
+      auto cut = dir.find_last_of('/');
+      dir = (cut == std::string::npos) ? "" : dir.substr(0, cut);
+    }
+    sys_path_insert(dir);
   }
   // DDSP_PLATFORM=cpu|tpu|... selects the JAX backend before first backend
   // init.  (A plain JAX_PLATFORMS env var can be overridden by a

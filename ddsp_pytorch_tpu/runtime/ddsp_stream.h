@@ -55,6 +55,9 @@ int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
 /* Pipeline latency in samples (2 * block_size). */
 int ddsp_stream_latency(const ddsp_stream_engine *engine);
 
+/* The engine's model block size (as passed to create). */
+int ddsp_stream_block(const ddsp_stream_engine *engine);
+
 /* Number of blocks rendered by the worker so far. */
 int64_t ddsp_stream_blocks_rendered(const ddsp_stream_engine *engine);
 

@@ -13,11 +13,11 @@
  * reference leaks an in-flight std::thread, SURVEY.md §5), and the model
  * block size comes from the loaded bundle instead of a compile-time B_SIZE.
  *
- * Build (requires the Pure Data API header m_pd.h, not vendored here —
- * point CMake at a Pd installation):
- *   cmake -S . -B build -DDDSP_PD_INCLUDE_DIR=/path/to/pd/src
- * Produces ddsp~.pd_linux.  This file is compile-gated: without
- * DDSP_PD_INCLUDE_DIR the rest of the runtime builds without it.
+ * Build: the Pd API header is vendored at pd/m_pd.h (third-party, see
+ * pd/README.md) so `ddsp~.pd_linux` builds unconditionally; point CMake at
+ * a Pd installation instead with -DDDSP_PD_INCLUDE_DIR=/path/to/pd/src.
+ * Tested without Pd by the mock host (pd_mock_test.cpp), which dlopens the
+ * built external exactly the way Pd does.
  */
 
 #include "m_pd.h"
@@ -79,6 +79,7 @@ static void ddsp_tilde_load(t_ddsp_tilde *x, t_symbol *sym) {
     x->model = nullptr;
   }
   x->model = ddsp_model_load(sym->s_name);
+  x->process_error_posted = 0; /* re-arm the diagnostic for the new model */
   if (!x->model) {
     post("ddsp~: error loading bundle %s", sym->s_name);
     return;
@@ -120,8 +121,10 @@ static t_int *ddsp_tilde_perform(t_int *w) {
 }
 
 static void ddsp_tilde_dsp(t_ddsp_tilde *x, t_signal **sp) {
+  /* s_n cast to t_int explicitly: varargs slots are pointer-sized and
+   * d_ugen.c reads them back as t_int. */
   dsp_add(ddsp_tilde_perform, 5, x, sp[0]->s_vec, sp[1]->s_vec, sp[2]->s_vec,
-          sp[0]->s_n);
+          (t_int)sp[0]->s_n);
 }
 
 extern "C" {

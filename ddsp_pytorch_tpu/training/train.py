@@ -58,6 +58,49 @@ def _normalize_loudness(batch, mean, std):
     return batch
 
 
+def apply_gradient_update(
+    state: TrainState,
+    tx: optax.GradientTransformation,
+    loss: jax.Array,
+    grads,
+    rng: jax.Array,
+):
+    """Optimizer update + NaN guard + metrics — the step half shared by the
+    data-parallel step below and the time-sharded step
+    (training/time_sharded.py), so both can never drift apart.
+
+    NaN guard: a non-finite loss (bad batch, overflow) skips the update
+    instead of poisoning the parameters — the step still advances so the
+    data order stays deterministic.  The reference would silently corrupt
+    the run (no guard anywhere).
+    """
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    finite = jnp.isfinite(loss)
+    params = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old), params, state.params
+    )
+    opt_state = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old),
+        opt_state,
+        state.opt_state,
+    )
+
+    new_state = state.replace(
+        step=state.step + 1,
+        params=params,
+        opt_state=opt_state,
+        rng=rng,
+    )
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "update_skipped": jnp.logical_not(finite).astype(jnp.int32),
+    }
+    return new_state, metrics
+
+
 def make_train_step(
     model, tx: optax.GradientTransformation, config: Config
 ) -> Callable:
@@ -81,35 +124,7 @@ def make_train_step(
             return loss, out
 
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        # NaN guard: a non-finite loss (bad batch, overflow) skips the
-        # update instead of poisoning the parameters — the step still
-        # advances so the data order stays deterministic.  The reference
-        # would silently corrupt the run (no guard anywhere).
-        finite = jnp.isfinite(loss)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old), params, state.params
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old),
-            opt_state,
-            state.opt_state,
-        )
-
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            opt_state=opt_state,
-            rng=rng,
-        )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "update_skipped": jnp.logical_not(finite).astype(jnp.int32),
-        }
-        return new_state, metrics
+        return apply_gradient_update(state, tx, loss, grads, rng)
 
     return train_step
 
@@ -195,15 +210,42 @@ class Trainer:
             run_dir, max_to_keep=config.train.keep_checkpoints
         )
 
-        train_step = make_train_step(self.model, self.tx, config)
         eval_step = make_eval_step(self.model, config)
         self._spc = max(1, config.train.steps_per_call)
-        if mesh is not None:
+        self._time_sharded = (
+            mesh is not None and mesh.shape.get("time", 1) > 1
+        )
+        if self._time_sharded:
+            # ('data','time') mesh: frame-rate NN data-parallel, sample-rate
+            # DSP + loss sharded over 'time' with gradients through the
+            # distributed collectives (training/time_sharded.py).
+            from ddsp_pytorch_tpu.parallel.sharding import (
+                shard_time_train_multi_step,
+                shard_time_train_step,
+            )
+            from ddsp_pytorch_tpu.training.time_sharded import (
+                make_time_sharded_train_step,
+            )
+
+            train_step = make_time_sharded_train_step(
+                self.model, self.tx, config, mesh
+            )
+            self._train_step = shard_time_train_step(train_step, mesh)
+            self._multi_step = (
+                shard_time_train_multi_step(
+                    make_train_multi_step(train_step, self._spc), mesh
+                )
+                if self._spc > 1
+                else None
+            )
+            self._eval_step = jax.jit(eval_step)
+        elif mesh is not None:
             from ddsp_pytorch_tpu.parallel.sharding import (
                 shard_train_multi_step,
                 shard_train_step,
             )
 
+            train_step = make_train_step(self.model, self.tx, config)
             self._train_step = shard_train_step(train_step, mesh)
             self._multi_step = (
                 shard_train_multi_step(
@@ -214,6 +256,7 @@ class Trainer:
             )
             self._eval_step = jax.jit(eval_step)
         else:
+            train_step = make_train_step(self.model, self.tx, config)
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
             self._multi_step = (
                 jax.jit(
@@ -251,6 +294,10 @@ class Trainer:
 
     def shard_batch(self, batch):
         batch = {k: _as_jnp(v) for k, v in batch.items()}
+        if self._time_sharded:
+            from ddsp_pytorch_tpu.parallel.sharding import shard_time_batch
+
+            return shard_time_batch(batch, self.mesh)
         if self.mesh is not None:
             from ddsp_pytorch_tpu.parallel.sharding import shard_batch
 
@@ -283,6 +330,10 @@ class Trainer:
         multihost = self.mesh is not None and jax.process_count() > 1
         stack = np.stack if multihost else jnp.stack
         stacked = jax.tree.map(lambda *xs: stack(xs), *batches)
+        if self._time_sharded:
+            from ddsp_pytorch_tpu.parallel.sharding import shard_time_batch
+
+            return shard_time_batch(stacked, self.mesh, lead=1)
         if self.mesh is not None:
             from ddsp_pytorch_tpu.parallel.sharding import shard_superbatch
 

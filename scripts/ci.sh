@@ -14,15 +14,20 @@ FAST=0
 echo "== 1/4 Python suite (virtual 8-device CPU mesh)"
 python -m pytest tests/ -x -q
 
-echo "== 2/4 Native runtime: build + ctest"
+echo "== 2/4 Native runtime: build (incl. ddsp~.pd_linux) + ctest"
 BUILD=ddsp_pytorch_tpu/runtime/build
-SAN_FLAGS=()
+# Sanitizer options are passed explicitly either way: a cached ON from a
+# previous non-fast configure must not leak into a --fast run.
 if [[ $FAST -eq 0 ]]; then
   SAN_FLAGS=(-DDDSP_TSAN=ON -DDDSP_ASAN=ON)
+else
+  SAN_FLAGS=(-DDDSP_TSAN=OFF -DDDSP_ASAN=OFF)
 fi
 cmake -S ddsp_pytorch_tpu/runtime -B "$BUILD" "${SAN_FLAGS[@]}" >/dev/null
 cmake --build "$BUILD" -j >/dev/null
-ctest --test-dir "$BUILD" --output-on-failure
+# (cd, not `ctest --test-dir`: --test-dir needs CMake >= 3.20, the project
+# minimum is 3.18)
+(cd "$BUILD" && ctest --output-on-failure)
 
 echo "== 3/4 ctypes pipeline selftest (C engine + embedded-Python model host)"
 JAX_PLATFORMS='' python - <<'PY'

@@ -28,8 +28,16 @@ def main():
         help="optimizer steps per device dispatch (lax.scan over stacked "
         "batches; amortizes the dispatch-bound step — see BASELINE.md)",
     )
-    p.add_argument("--mesh-data", type=int, default=-1)
-    p.add_argument("--mesh-time", type=int, default=1)
+    p.add_argument(
+        "--mesh-data", type=int, default=None,
+        help="mesh 'data' axis size (default: config.mesh.data; -1 = all "
+        "remaining devices)",
+    )
+    p.add_argument(
+        "--mesh-time", type=int, default=None,
+        help="mesh 'time' axis size (default: config.mesh.time); >1 runs "
+        "the time-sharded train step (training/time_sharded.py)",
+    )
     p.add_argument("--no-mesh", action="store_true", help="single-device jit")
     p.add_argument(
         "--platform",
@@ -80,6 +88,13 @@ def main():
     if args.steps_per_call is not None:
         config.train.steps_per_call = args.steps_per_call
 
+    # CLI overrides config.mesh; config.mesh is the durable home
+    # (configs/*.yaml `mesh:` section).
+    if args.mesh_data is not None:
+        config.mesh.data = args.mesh_data
+    if args.mesh_time is not None:
+        config.mesh.time = args.mesh_time
+
     mesh = None
     if not args.no_mesh:
         import jax
@@ -87,7 +102,7 @@ def main():
         if len(jax.devices()) > 1:
             from ddsp_pytorch_tpu.parallel import make_mesh
 
-            mesh = make_mesh(data=args.mesh_data, time=args.mesh_time)
+            mesh = make_mesh(data=config.mesh.data, time=config.mesh.time)
 
     run_dir = path.join(args.root, args.name)
     dm = Datamodule(config, device_cache=args.device_cache)
