@@ -92,6 +92,10 @@ class TrainConfig:
     batch: int = 16
     lr: float = 1.0e-3
     steps: int = 500000
+    # "adam" (reference train.py:62) or "sgd" (plain optax.sgd — useful for
+    # numerics work: the param delta is exactly -lr*grad, which Adam's
+    # m/sqrt(v) normalization is not).
+    optimizer: str = "adam"
     # New fields (absent in the reference; defaults preserve its behavior).
     seed: int = 0
     val_interval_epochs: int = 10  # reference train.py:17

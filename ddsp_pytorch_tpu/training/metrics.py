@@ -17,11 +17,20 @@ import numpy as np
 
 
 class MetricsWriter:
-    def __init__(self, run_dir: str, use_tensorboard: bool = True):
+    def __init__(
+        self, run_dir: str, use_tensorboard: bool = True, enabled: bool = True
+    ):
+        """enabled=False makes every write a no-op — multi-host runs pass
+        enabled only on process 0 so N processes sharing a run_dir don't
+        interleave writes into the same metrics.jsonl."""
         self.run_dir = run_dir
+        self.enabled = enabled
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         os.makedirs(run_dir, exist_ok=True)
         self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -31,6 +40,8 @@ class MetricsWriter:
                 self._tb = None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
+        if not self.enabled:
+            return
         value = float(value)
         self._jsonl.write(
             json.dumps(
@@ -44,6 +55,8 @@ class MetricsWriter:
 
     def add_audio(self, tag: str, audio, step: int, sample_rate: int) -> None:
         """Write audio both as a wav next to the metrics and to TB."""
+        if not self.enabled:
+            return
         audio = np.asarray(audio, np.float32).reshape(-1)
         from ddsp_pytorch_tpu.utils.audio_io import save_wav
 
@@ -57,6 +70,8 @@ class MetricsWriter:
             self._tb.add_audio(tag, audio[None, :], step, sample_rate=sample_rate)
 
     def add_figure(self, tag: str, fig, step: int) -> None:
+        if not self.enabled:
+            return
         fig_dir = os.path.join(self.run_dir, "figures")
         os.makedirs(fig_dir, exist_ok=True)
         safe_tag = tag.replace("/", "_")
@@ -65,6 +80,7 @@ class MetricsWriter:
             self._tb.add_figure(tag, fig, step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -112,16 +112,27 @@ class Checkpointer:
 
     # ---------------------------------------------------------------- best
     def save_best(self, params, step: int, loss: float) -> None:
+        """Save the best-loss params.  COLLECTIVE in a multi-process run:
+        every process must call it (the Orbax save contains a global
+        barrier); host-side file surgery runs on process 0 only."""
+        import jax
+
+        primary = jax.process_index() == 0
         path = os.path.join(self.best_dir, "params")
-        if os.path.exists(path):
-            # Orbax refuses to overwrite; replace atomically via tmp+rename.
+        if primary and os.path.exists(path):
+            # Orbax refuses to overwrite; clear the previous snapshot first.
             import shutil
 
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ddsp_save_best_rm")
         self._best_ckptr.save(path, params)
         self._best_ckptr.wait_until_finished()
-        with open(os.path.join(self.best_dir, "meta.json"), "w") as f:
-            json.dump({"step": step, "loss": loss}, f)
+        if primary:
+            with open(os.path.join(self.best_dir, "meta.json"), "w") as f:
+                json.dump({"step": step, "loss": loss}, f)
 
     def restore_best(self, abstract_params):
         path = os.path.join(self.best_dir, "params")

@@ -38,7 +38,12 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
         lr = optax.linear_schedule(tc.lr, tc.lr_stop, decay_steps)
     else:
         lr = tc.lr  # reference behavior: constant-LR Adam (train.py:62)
-    tx = optax.adam(lr)
+    if tc.optimizer == "sgd":
+        tx = optax.sgd(lr)
+    elif tc.optimizer == "adam":
+        tx = optax.adam(lr)
+    else:
+        raise ValueError(f"unknown train.optimizer: {tc.optimizer!r}")
     if tc.grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), tx)
     return tx
@@ -205,7 +210,14 @@ class Trainer:
         self.model = model if model is not None else load_model(config)
         self.tx = make_optimizer(config)
         self.mesh = mesh
-        self.metrics = MetricsWriter(run_dir, use_tensorboard=use_tensorboard)
+        # Multi-host: all processes train (Orbax full-state saves are
+        # collective), but host-side artifacts that are not — metrics,
+        # best-params bundle, frozen config — are written by process 0 only
+        # (every process holds the same replicated state).
+        self._is_primary = jax.process_index() == 0
+        self.metrics = MetricsWriter(
+            run_dir, use_tensorboard=use_tensorboard, enabled=self._is_primary
+        )
         self.checkpointer = Checkpointer(
             run_dir, max_to_keep=config.train.keep_checkpoints
         )
@@ -379,12 +391,25 @@ class Trainer:
         if mean_l is None or std_l is None:
             from ddsp_pytorch_tpu.ops import mean_std_loudness
 
-            mean_l, std_l = mean_std_loudness(train_loader)
+            stats_loader = train_loader
+            if jax.process_count() > 1:
+                # Multi-host: the train loader only yields this process's
+                # interleaved shard; per-process stats would diverge and
+                # each replica would normalize loudness differently (an
+                # inconsistent global model).  Compute over the FULL
+                # dataset, identically on every process.
+                from ddsp_pytorch_tpu.data.dataset import DataLoader
+
+                stats_loader = DataLoader(
+                    train_loader.dataset, cfg.train.batch, shuffle=False
+                )
+            mean_l, std_l = mean_std_loudness(stats_loader)
             cfg.data.mean_loudness, cfg.data.std_loudness = mean_l, std_l
 
         # Freeze the (stat-enriched) config next to the run, like the
         # reference (train.py:59-60), so export can rebuild the model.
-        cfg.to_yaml(os.path.join(self.run_dir, "config.yaml"))
+        if self._is_primary:
+            cfg.to_yaml(os.path.join(self.run_dir, "config.yaml"))
 
         sample = next(iter(train_loader))
         state, resumed = self.resume_or_init(
@@ -518,6 +543,10 @@ class Trainer:
             if epoch % cfg.train.log_interval_epochs == 0:
                 if n_elem > 0 and mean_loss < best_loss:
                     best_loss = mean_loss
+                    # save_best is COLLECTIVE (Orbax barrier inside): every
+                    # process calls it.  The mean_loss < best_loss decision
+                    # is identical everywhere — it is host float math over
+                    # the replicated per-step losses.
                     self.checkpointer.save_best(
                         jax.device_get(state.params), step, mean_loss
                     )
@@ -555,7 +584,10 @@ class Trainer:
             last_out = out
         if losses:
             self.metrics.add_scalar("loss/val", float(np.mean(losses)), step)
-        if last_out is not None:
+        if last_out is not None and jax.process_count() == 1:
+            # media fetches pull batch-sharded arrays to the host; on a
+            # multi-host mesh those are only partially addressable — the
+            # scalar val loss above is the multi-host observable
             self._report(last_out, step, stage="val")
 
     def _log_media(self, state, sample_batch, step: int, stage: str) -> None:
@@ -566,7 +598,8 @@ class Trainer:
         if "reverb" in params:
             self.metrics.add_scalar("reverb_decay", float(params["reverb"]["decay"]), step)
             self.metrics.add_scalar("reverb_wet", float(params["reverb"]["wet"]), step)
-        self._report(out, step, stage)
+        if jax.process_count() == 1:  # see _run_validation
+            self._report(out, step, stage)
 
     def _report(self, out, step: int, stage: str) -> None:
         sr = self.config.preprocess.sample_rate
