@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Measured roofline for the Pallas oscillator kernel (fwd and fwd+bwd).
+
+docs/kernels.md derives the kernel's HBM traffic analytically (≈2.1x the
+audio output); this script turns that claim into a measured receipt on the
+real chip (round-1 VERDICT weak #3): achieved HBM GB/s vs the chip's peak.
+
+Protocol: the kernel is isolated (no GRU/loss), and N iterations are chained
+inside ONE jit via lax.scan with a value dependence (amp perturbed by the
+previous iteration's output mean scaled to 1e-38 — numerically nil, but XLA
+cannot hoist or elide the repeats), so per-iteration device time excludes
+the host dispatch wall that dominates single-call timings through a remote
+tunnel (CLAUDE.md).  Bytes counted: every kernel operand read + written
+once (the kernel streams each block exactly once; sines are recomputed in
+backward, never stored — docs/kernels.md).
+
+Optionally captures a jax.profiler trace (--trace DIR) of the same loop.
+
+Usage (real chip):
+  python scripts/bench_roofline.py --out ROOFLINE.json
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e (v5 lite): 819 GB/s HBM2E per chip, 197 bf16 TFLOP/s (394 int8).
+HBM_PEAK_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0}
+DEFAULT_PEAK = 819.0
+
+
+def measure(batch, n_frames, n_harmonic, block_size, sample_rate, iters,
+            mode, use_pallas="always"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddsp_pytorch_tpu.ops.oscillator import (
+        phase_accumulate_frames,
+        synth_from_phases,
+    )
+
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.uniform(80, 800, (batch, n_frames)).astype(np.float32))
+    amp = jnp.asarray(
+        (rng.random((batch, n_frames, n_harmonic)) / n_harmonic).astype(
+            np.float32
+        )
+    )
+    phi, _ = phase_accumulate_frames(f0, block_size, sample_rate)
+    t = n_frames * block_size
+
+    def fwd_once(a):
+        return synth_from_phases(
+            f0, a, phi, block_size, float(sample_rate), use_pallas
+        )
+
+    if mode == "fwd":
+        def body(carry, _):
+            a = amp + carry * 1e-38  # value dependence; numerically nil
+            audio = fwd_once(a)
+            return jnp.mean(audio), None
+    else:  # fwd+bwd
+        grad_fn = jax.grad(lambda a: jnp.sum(fwd_once(a) ** 2))
+
+        def body(carry, _):
+            a = amp + carry * 1e-38
+            g = grad_fn(a)
+            return jnp.mean(g), None
+
+    @jax.jit
+    def loop():
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    jax.block_until_ready(loop())  # compile + warm
+    best = math.inf
+    for _ in range(5):  # best-of to dodge tunnel degradation windows
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    # kernel-operand bytes per iteration (f32 = 4 B):
+    ctrl = batch * n_frames
+    audio_b = batch * t * 4
+    fwd_bytes = (ctrl * n_harmonic + 3 * ctrl) * 4 + audio_b
+    if mode == "fwd":
+        byts = fwd_bytes
+        flops = 4 * batch * t * n_harmonic
+    else:
+        # forward pass + backward kernel: read cotangent (B,T) + controls,
+        # write damp (B,F,K) + dphi + domega; sines recomputed not stored
+        bwd_bytes = audio_b + (ctrl * n_harmonic + 3 * ctrl) * 4 \
+            + (ctrl * n_harmonic + 2 * ctrl) * 4
+        byts = fwd_bytes + bwd_bytes
+        # fwd 4SK/sample + bwd ~6SK (sin+cos recurrences + two reductions)
+        flops = 10 * batch * t * n_harmonic
+    return {
+        "mode": mode,
+        "batch": batch,
+        "n_frames": n_frames,
+        "n_harmonic": n_harmonic,
+        "block_size": block_size,
+        "samples": t,
+        "device_ms_per_call": best * 1000.0,
+        "hbm_bytes": byts,
+        "achieved_gbps": byts / best / 1e9,
+        "gflops": flops / best / 1e9,
+        "samples_per_s": batch * t / best,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--trace", default=None,
+                   help="also capture a jax.profiler trace into this dir")
+    p.add_argument("--out", default=None)
+    p.add_argument("--use-pallas", default="always",
+                   choices=["always", "never", "interpret"])
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown").lower()
+    peak = next((v for k, v in HBM_PEAK_GBPS.items() if k in kind),
+                DEFAULT_PEAK)
+
+    # reference training workload (config.yaml:5-28) + headline synth voice
+    workloads = [
+        dict(batch=16, n_frames=375, n_harmonic=64, block_size=512,
+             sample_rate=48000),   # training shape
+        dict(batch=1, n_frames=375, n_harmonic=100, block_size=512,
+             sample_rate=48000),   # headline realtime voice
+        dict(batch=32, n_frames=375, n_harmonic=100, block_size=512,
+             sample_rate=48000),   # serving slab
+    ]
+    rows = []
+    for w in workloads:
+        for mode in ("fwd", "fwd+bwd"):
+            r = measure(iters=args.iters, mode=mode,
+                        use_pallas=args.use_pallas, **w)
+            r["pct_hbm_peak"] = 100.0 * r["achieved_gbps"] / peak
+            rows.append(r)
+            print(
+                f"B={r['batch']:3d} K={r['n_harmonic']:3d} {r['mode']:7s}: "
+                f"{r['device_ms_per_call']:7.3f} ms  "
+                f"{r['achieved_gbps']:6.1f} GB/s "
+                f"({r['pct_hbm_peak']:4.1f}% of {peak:.0f} GB/s peak)  "
+                f"{r['gflops']:7.0f} GFLOP/s"
+            )
+
+    if args.trace:
+        from ddsp_pytorch_tpu.training.profiling import trace
+
+        with trace(args.trace):
+            measure(iters=10, mode="fwd+bwd", use_pallas=args.use_pallas,
+                    **workloads[0])
+        print(f"profiler trace: {args.trace}")
+
+    payload = {
+        "device_kind": kind,
+        "hbm_peak_gbps": peak,
+        "protocol": "lax.scan of N kernel calls inside one jit (value-"
+                    "dependent chaining), best-of-5 timed loops; bytes = "
+                    "kernel operands, each streamed once",
+        "results": rows,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

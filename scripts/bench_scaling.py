@@ -27,6 +27,9 @@ def main():
     p.add_argument("--signal-length", type=int, default=48000)
     p.add_argument("--sample-rate", type=int, default=48000)
     p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--out", default=None,
+                   help="write the JSON result to this file as well "
+                        "(e.g. SCALING_r02.json)")
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -118,7 +121,32 @@ def main():
             f"devices {d:3d}: step {1000*dt:7.2f} ms  "
             f"{sps/1e6:9.1f} Msamples/s  efficiency {eff:5.1%}"
         )
-    print(json.dumps({"platform": jax.default_backend(), "results": results}))
+    payload = {
+        "platform": jax.default_backend(),
+        "workload": {
+            "per_device_batch": args.per_device_batch,
+            "signal_length": sl,
+            "sample_rate": args.sample_rate,
+            "hidden": 512, "n_harmonic": 64, "reverb": True,
+            "scales": cfg.train.scales,
+        },
+        "protocol": (
+            "weak scaling: global batch = devices * per_device_batch; "
+            "steps/s from mean of --reps steps after one warmup; "
+            "efficiency = per-device samples/s vs the 1-device run. "
+            "On a pod slice: python scripts/bench_scaling.py "
+            "--per-device-batch 16 --reps 30 --out SCALING.json "
+            "(no --platform; the mesh uses all visible chips). "
+            "This container has 1 real chip, so committed artifacts are "
+            "virtual-CPU-mesh plumbing runs (numbers = core contention, "
+            "not ICI)."
+        ),
+        "results": results,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

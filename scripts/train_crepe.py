@@ -42,9 +42,8 @@ def synth_batch(rng, batch, key_f0=None):
 
     from ddsp_pytorch_tpu.models.crepe import FRAME_LENGTH, MODEL_SRATE
 
-    (k_f0, k_amp, k_phase, k_noise, k_snr, k_gain, k_vib, k_vibp) = (
-        jax.random.split(rng, 8)
-    )
+    (k_f0, k_amp, k_phase, k_noise, k_snr, k_gain, k_vib, k_vibp,
+     k_form, k_fg, k_fw, k_coh) = jax.random.split(rng, 12)
     # log-uniform f0 across the tracker's useful range
     log_f0 = jax.random.uniform(
         k_f0, (batch,), minval=math.log(40.0), maxval=math.log(1800.0)
@@ -57,12 +56,30 @@ def synth_batch(rng, batch, key_f0=None):
     alpha = jax.random.uniform(k_amp, (batch, 1), minval=0.5, maxval=2.5)
     k = jnp.arange(1, n_harm + 1)[None, :]
     amps = k.astype(jnp.float32) ** (-alpha)
+    # random FORMANT resonance: boost a band of harmonics around index
+    # j ∈ [2, 8] by up to 12x — without this the net never sees spectra
+    # whose strongest partial is NOT the fundamental (bowed/brassy timbres)
+    # and answers an octave high on them (measured: RPA 0.31 on the
+    # bowed-saw fixtures before, 50-cent octave wall; see
+    # scripts/pitch_accuracy.py)
+    formant_pos = jax.random.uniform(k_form, (batch, 1), minval=2.0, maxval=8.0)
+    formant_gain = 10.0 ** jax.random.uniform(k_fg, (batch, 1), maxval=1.1)
+    formant_width = jax.random.uniform(k_fw, (batch, 1), minval=0.8, maxval=2.5)
+    amps = amps * (
+        1.0
+        + formant_gain
+        * jnp.exp(-0.5 * jnp.square((k - formant_pos) / formant_width))
+    )
     # zero out harmonics above Nyquist
     amps = jnp.where(k * f0[:, None] < MODEL_SRATE / 2, amps, 0.0)
     amps = amps / jnp.sum(amps, axis=-1, keepdims=True)
     phases = jax.random.uniform(
         k_phase, (batch, n_harm), maxval=2.0 * math.pi
     )
+    # half the batch phase-coherent (sawtooth/pulse-like waveforms), half
+    # random-phase (string-like)
+    coherent = jax.random.bernoulli(k_coh, 0.5, (batch, 1))
+    phases = jnp.where(coherent, 0.0, phases)
     # mild vibrato so the net sees non-stationary pitch inside the window
     vib_depth = jax.random.uniform(k_vib, (batch, 1), maxval=0.01)
     vib = 1.0 + vib_depth * jnp.sin(
