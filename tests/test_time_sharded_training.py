@@ -218,6 +218,35 @@ def test_trainer_fit_time_sharded(tmp_path, rng):
     assert int(state.step) >= 4
 
 
+def test_shipped_timesharded_config_validates():
+    """configs/config_timesharded.yaml (the full 48 kHz workload with
+    mesh.time=4) must satisfy the sharded-STFT shape constraints, and the
+    reference chunk length 192000 must NOT (its largest hop 1024 doesn't
+    divide 192000/4) — the reason the variant config exists."""
+    import os
+
+    cfg = Config.from_yaml(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "config_timesharded.yaml")
+    )
+    assert cfg.mesh.time == 4
+    mesh = make_mesh(data=2, time=4)
+    validate_time_sharding(cfg, mesh)  # must not raise
+
+    ref = cfg.replace()
+    ref.preprocess = dataclasses_replace(ref.preprocess, signal_length=192000)
+    # 192000 fails on frame-count divisibility (375 frames % 4) before the
+    # hop check even runs
+    with pytest.raises(ValueError, match="time sharding"):
+        validate_time_sharding(ref, mesh)
+
+
+def dataclasses_replace(dc, **kw):
+    import dataclasses
+
+    return dataclasses.replace(dc, **kw)
+
+
 def test_validate_time_sharding_rejects_bad_shapes():
     mesh = make_mesh(data=2, time=4)
     # n_fft/2 = 1024 >= chunk 1024
