@@ -194,13 +194,22 @@ def soak(
     with StreamEngine(engine_block, render) as engine:
         latency_ms = engine.latency / sample_rate * 1000.0
         start = time.perf_counter()
+        offset = 0.0  # resync accumulator (see below)
         for i in range(n_ticks):
-            deadline = start + i * tick_s
+            deadline = start + offset + i * tick_s
             now = time.perf_counter()
             if now < deadline:
                 time.sleep(deadline - now)
-            else:
-                late_ticks += int(now - deadline > tick_s)
+            elif now - deadline > tick_s:
+                # The PACER stalled (container scheduling), not the model.
+                # A real audio device never delivers a burst of catch-up
+                # callbacks — it xruns at the driver and resumes on its
+                # clock — so resynchronize the deadline base instead of
+                # bursting ticks at the engine (a burst crosses block
+                # boundaries in ~0 wall time and would charge the worker
+                # with underruns it did not cause).
+                late_ticks += 1
+                offset += now - deadline
             pitch = np.full(tick, 220.0 + 50.0 * np.sin(i * 0.01), np.float32)
             loud = np.full(tick, -0.5 + 0.1 * rng.standard_normal(), np.float32)
             engine.process(pitch, loud)
