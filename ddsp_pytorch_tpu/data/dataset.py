@@ -223,6 +223,19 @@ class Datamodule:
         )
 
     def val_dataloader(self) -> DataLoader:
+        # Multi-host: like the train loader, every process yields only its
+        # interleaved shard of the global val batch and the Trainer
+        # reassembles the global array (were every process to feed the FULL
+        # batch as its "local" slice, each sample would be evaluated
+        # process_count times).
+        import jax
+
+        nproc = jax.process_count()
+        per_host = max(1, self.config.train.batch // nproc)
         return DataLoader(
-            self.val_data, batch_size=self.config.train.batch, shuffle=False
+            self.val_data,
+            batch_size=per_host,
+            shuffle=False,
+            num_shards=nproc,
+            shard_index=jax.process_index(),
         )

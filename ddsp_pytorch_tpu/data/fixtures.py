@@ -210,6 +210,22 @@ def cents_error(est_hz: np.ndarray, true_hz: np.ndarray) -> np.ndarray:
     return 1200.0 * np.log2(est / true)
 
 
+def summarize_cents(abs_err: np.ndarray, threshold_cents: float = 50.0) -> dict:
+    """RPA + mean/median |cents| from an array of absolute cent errors.
+    The single place the RPA threshold/definition lives (scripts/
+    pitch_accuracy.py aggregates per-family/overall through this too)."""
+    abs_err = np.asarray(abs_err, np.float64)
+    if abs_err.size == 0:
+        return {"rpa": 0.0, "mean_abs_cents": float("inf"),
+                "median_abs_cents": float("inf"), "n_frames": 0}
+    return {
+        "rpa": float(np.mean(abs_err <= threshold_cents)),
+        "mean_abs_cents": float(np.mean(abs_err)),
+        "median_abs_cents": float(np.median(abs_err)),
+        "n_frames": int(abs_err.size),
+    }
+
+
 def raw_pitch_accuracy(
     est_hz: np.ndarray,
     true_hz: np.ndarray,
@@ -220,16 +236,7 @@ def raw_pitch_accuracy(
     plus the mean/median absolute error in cents."""
     est = np.asarray(est_hz, np.float64)[voiced]
     true = np.asarray(true_hz, np.float64)[voiced]
-    if est.size == 0:
-        return {"rpa": 0.0, "mean_abs_cents": float("inf"),
-                "median_abs_cents": float("inf"), "n_frames": 0}
-    err = np.abs(cents_error(est, true))
-    return {
-        "rpa": float(np.mean(err <= threshold_cents)),
-        "mean_abs_cents": float(np.mean(err)),
-        "median_abs_cents": float(np.median(err)),
-        "n_frames": int(est.size),
-    }
+    return summarize_cents(np.abs(cents_error(est, true)), threshold_cents)
 
 
 def frame_truth(f0_track: np.ndarray, voiced: np.ndarray, block_size: int,

@@ -125,10 +125,10 @@ def shard_time_batch(batch: Any, mesh: Mesh, lead: int = 0) -> Any:
     }
 
 
-def shard_time_train_step(train_step: Callable, mesh: Mesh) -> Callable:
-    """pjit the time-sharded train step (training/time_sharded.py): state
-    replicated+donated, sig over ('data','time'), controls over 'data'."""
-
+def _shard_time_step(step: Callable, mesh: Mesh, lead: int) -> Callable:
+    """jit `step` with time-sharded batch shardings, cached per key set
+    (state replicated+donated; batch via time_batch_sharding with `lead`
+    unsharded leading axes)."""
     _cache = {}
 
     def jitted(state, batch):
@@ -136,10 +136,10 @@ def shard_time_train_step(train_step: Callable, mesh: Mesh) -> Callable:
         fn = _cache.get(key)
         if fn is None:
             fn = jax.jit(
-                train_step,
+                step,
                 in_shardings=(
                     replicated(mesh),
-                    time_batch_sharding(batch, mesh),
+                    time_batch_sharding(batch, mesh, lead),
                 ),
                 out_shardings=(replicated(mesh), replicated(mesh)),
                 donate_argnums=(0,),
@@ -150,25 +150,13 @@ def shard_time_train_step(train_step: Callable, mesh: Mesh) -> Callable:
     return jitted
 
 
+def shard_time_train_step(train_step: Callable, mesh: Mesh) -> Callable:
+    """pjit the time-sharded train step (training/time_sharded.py): state
+    replicated+donated, sig over ('data','time'), controls over 'data'."""
+    return _shard_time_step(train_step, mesh, lead=0)
+
+
 def shard_time_train_multi_step(multi_step: Callable, mesh: Mesh) -> Callable:
     """pjit the scanned time-sharded multi-step: super-batch axis 0 whole,
     sig over (None,'data','time'), controls over (None,'data')."""
-    _cache = {}
-
-    def jitted(state, batches):
-        key = tuple(sorted(batches))
-        fn = _cache.get(key)
-        if fn is None:
-            fn = jax.jit(
-                multi_step,
-                in_shardings=(
-                    replicated(mesh),
-                    time_batch_sharding(batches, mesh, lead=1),
-                ),
-                out_shardings=(replicated(mesh), replicated(mesh)),
-                donate_argnums=(0,),
-            )
-            _cache[key] = fn
-        return fn(state, batches)
-
-    return jitted
+    return _shard_time_step(multi_step, mesh, lead=1)

@@ -84,24 +84,38 @@ int ddsp_runtime_init(const char *extra_sys_path) {
     fresh = true;
   }
   PyGILState_STATE gil = PyGILState_Ensure();
-  if (extra_sys_path && *extra_sys_path) {
-    sys_path_insert(extra_sys_path);
-  }
-  // DDSP_PYTHONPATH: explicit package location (the Pd external has no way
-  // to pass extra_sys_path from a patch).
-  if (const char *env_path = std::getenv("DDSP_PYTHONPATH")) {
-    sys_path_insert(env_path);
-  }
+  // Each insert lands at sys.path[0], so add in INCREASING priority:
+  // in-tree fallback first, then DDSP_PYTHONPATH, then the caller's
+  // explicit extra_sys_path (the most explicit request must win).
+  //
   // In-tree convenience: this library lives at
   // <repo>/ddsp_pytorch_tpu/runtime/build/libddsp_model.so — put <repo> on
   // sys.path so `import ddsp_pytorch_tpu` works with zero configuration.
+  // Only added when that ancestor actually contains the package: for an
+  // installed .so (e.g. ~/pd/externals/) "3 dirs up" is an arbitrary
+  // directory (often $HOME) where stray user modules would shadow stdlib
+  // packages.
   {
     std::string dir = self_library_dir();
     for (int up = 0; up < 3 && !dir.empty(); ++up) {
       auto cut = dir.find_last_of('/');
       dir = (cut == std::string::npos) ? "" : dir.substr(0, cut);
     }
-    sys_path_insert(dir);
+    if (!dir.empty()) {
+      std::string marker = dir + "/ddsp_pytorch_tpu/__init__.py";
+      if (FILE *f = std::fopen(marker.c_str(), "r")) {
+        std::fclose(f);
+        sys_path_insert(dir);
+      }
+    }
+  }
+  // DDSP_PYTHONPATH: explicit package location (the Pd external has no way
+  // to pass extra_sys_path from a patch).
+  if (const char *env_path = std::getenv("DDSP_PYTHONPATH")) {
+    sys_path_insert(env_path);
+  }
+  if (extra_sys_path && *extra_sys_path) {
+    sys_path_insert(extra_sys_path);
   }
   // DDSP_PLATFORM=cpu|tpu|... selects the JAX backend before first backend
   // init.  (A plain JAX_PLATFORMS env var can be overridden by a

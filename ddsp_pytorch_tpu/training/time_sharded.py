@@ -28,6 +28,7 @@ No reference analogue: the reference is single-device and chunks offline
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict
 
 import jax
@@ -35,6 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ddsp_pytorch_tpu.config import Config
+from ddsp_pytorch_tpu.models.encoder import DDSPAutoencoder
 from ddsp_pytorch_tpu.ops.filters import filtered_noise
 from ddsp_pytorch_tpu.parallel.ops import (
     checked_shard_map,
@@ -63,17 +65,18 @@ def validate_time_sharding(config: Config, mesh: Mesh) -> None:
     if frames % n_time != 0:
         raise ValueError(
             f"time sharding: frame count {frames} (signal_length/block_size) "
-            f"must divide the mesh time axis ({n_time})"
+            f"must be divisible by the mesh time axis ({n_time})"
         )
     chunk = t // n_time
-    for s in config.train.scales:
-        hop = int(s * (1.0 - config.train.overlap))
+    hops = [int(s * (1.0 - config.train.overlap)) for s in config.train.scales]
+    hop_lcm = math.lcm(*hops) if hops else 1
+    for s, hop in zip(config.train.scales, hops):
         if chunk % hop != 0:
             raise ValueError(
                 f"time sharding: per-shard chunk {chunk} must be a multiple "
                 f"of every STFT hop; scale {s} has hop {hop} "
-                f"(pick signal_length/time divisible by "
-                f"{max(int(s * (1.0 - config.train.overlap)) for s in config.train.scales)})"
+                f"(pick signal_length/time divisible by {hop_lcm}, the LCM "
+                f"of all hops)"
             )
         if s // 2 >= chunk:
             raise ValueError(
@@ -97,7 +100,7 @@ def make_time_sharded_train_step(
     sr = int(model.sample_rate)
     has_reverb = bool(model.has_reverb)
     use_pallas = getattr(model, "use_pallas", "auto")
-    needs_mfcc = model.__class__.__name__ == "DDSPAutoencoder"
+    needs_mfcc = isinstance(model, DDSPAutoencoder)
     noise_sharding = NamedSharding(mesh, P("data", "time", None))
 
     def dsp_loss(f0, amp, mags, noise, ir, target):

@@ -305,7 +305,12 @@ class Trainer:
         return state, False
 
     def shard_batch(self, batch):
-        batch = {k: _as_jnp(v) for k, v in batch.items()}
+        if jax.process_count() == 1:
+            batch = {k: _as_jnp(v) for k, v in batch.items()}
+        # Multi-process: stay host-side — make_array_from_process_local_data
+        # (parallel/sharding.py) consumes numpy directly; device-putting
+        # here would force a device->host pull per key per step (ruinous
+        # through this container's ~MB/s tunnel, CLAUDE.md).
         if self._time_sharded:
             from ddsp_pytorch_tpu.parallel.sharding import shard_time_batch
 
@@ -326,9 +331,12 @@ class Trainer:
         if self.mesh is None:
             return {k: _as_jnp(v) for k, v in batch.items()}
         n = len(next(iter(batch.values())))
-        if n % self.mesh.shape["data"] == 0:
+        nproc = jax.process_count()
+        # Multi-process: `n` is this process's local shard of the global
+        # batch (data/dataset.py val_dataloader) — check the GLOBAL size.
+        if (n * nproc) % self.mesh.shape["data"] == 0:
             return self.shard_batch(batch)
-        if jax.process_count() > 1:
+        if nproc > 1:
             return None
         from ddsp_pytorch_tpu.parallel.sharding import replicated
 

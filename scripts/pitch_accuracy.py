@@ -34,7 +34,11 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
                  crepe_capacity: str = "tiny", partition: str = "validation"):
     import numpy as np
 
-    from ddsp_pytorch_tpu.data.fixtures import frame_truth, raw_pitch_accuracy
+    from ddsp_pytorch_tpu.data.fixtures import (
+        cents_error,
+        frame_truth,
+        summarize_cents,
+    )
     from ddsp_pytorch_tpu.ops import extract_pitch
     from ddsp_pytorch_tpu.utils.audio_io import load_wav
 
@@ -69,44 +73,22 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
             f0f, vf = frame_truth(
                 truth["f0"], truth["voiced"], block_size, len(est)
             )
-            m = raw_pitch_accuracy(est, f0f, vf)
+            # one error computation feeds both the per-file row and the
+            # family/overall accumulation — the threshold and clamping live
+            # only in fixtures.cents_error / summarize_cents
+            err = np.abs(cents_error(est[vf], f0f[vf]))
             per_file.append({"file": key, "tracker": name,
-                             "family": info["family"], **m})
-            fam = acc[name].setdefault(
-                info["family"], {"err": [], "hit": 0, "n": 0}
-            )
-            err = np.abs(
-                1200.0 * np.log2(
-                    np.maximum(est, 1e-6)[vf] / np.maximum(f0f, 1e-6)[vf]
-                )
-            )
-            fam["err"].extend(err.tolist())
-            fam["hit"] += int(np.sum(err <= 50.0))
-            fam["n"] += int(err.size)
+                             "family": info["family"], **summarize_cents(err)})
+            acc[name].setdefault(info["family"], []).extend(err.tolist())
 
     summary = {}
     for name, fams in acc.items():
         all_err = []
-        hits = n = 0
         summary[name] = {"families": {}}
-        for fam, d in sorted(fams.items()):
-            e = np.asarray(d["err"])
-            summary[name]["families"][fam] = {
-                "rpa": d["hit"] / max(d["n"], 1),
-                "mean_abs_cents": float(e.mean()) if e.size else None,
-                "median_abs_cents": float(np.median(e)) if e.size else None,
-                "n_frames": d["n"],
-            }
-            all_err.extend(d["err"])
-            hits += d["hit"]
-            n += d["n"]
-        e = np.asarray(all_err)
-        summary[name]["overall"] = {
-            "rpa": hits / max(n, 1),
-            "mean_abs_cents": float(e.mean()) if e.size else None,
-            "median_abs_cents": float(np.median(e)) if e.size else None,
-            "n_frames": n,
-        }
+        for fam, errs in sorted(fams.items()):
+            summary[name]["families"][fam] = summarize_cents(errs)
+            all_err.extend(errs)
+        summary[name]["overall"] = summarize_cents(all_err)
     return {"block_size": block_size, "sample_rate": sr,
             "partition": partition, "summary": summary,
             "per_file": per_file}
