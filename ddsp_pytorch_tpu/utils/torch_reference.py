@@ -88,7 +88,8 @@ class TorchReferenceDecoder:
     """
 
     def __init__(self, params, *, sample_rate: int, block_size: int,
-                 n_harmonic: int, hidden_size: int, has_reverb: bool = False):
+                 n_harmonic: int, hidden_size: int, has_reverb: bool = False,
+                 has_z: bool = False):
         self.sample_rate = sample_rate
         self.block_size = block_size
         self.n_harmonic = n_harmonic
@@ -97,8 +98,11 @@ class TorchReferenceDecoder:
         dp = params["decoder"]
         self._f0_mlp = dp["f0_mlp"]
         self._loud_mlp = dp["loudness_mlp"]
+        self._z_mlp = dp["z_mlp"] if has_z else None
         self._out_mlp = dp["out_mlp"]
-        self.gru = make_torch_gru(dp["gru"], 2 * hidden_size, hidden_size)
+        n_inputs = 3 if has_z else 2
+        self.gru = make_torch_gru(dp["gru"], n_inputs * hidden_size,
+                                  hidden_size)
         self.hw = torch.tensor(np.asarray(params["harmonic_proj"]["kernel"]))
         self.hb = torch.tensor(np.asarray(params["harmonic_proj"]["bias"]))
         self.nw = torch.tensor(np.asarray(params["noise_proj"]["kernel"]))
@@ -116,16 +120,18 @@ class TorchReferenceDecoder:
             self.reverb_ir = impulse
 
     @torch.no_grad()
-    def __call__(self, f0, loudness, noise=None):
+    def __call__(self, f0, loudness, z=None, noise=None):
         b, frames, _ = f0.shape
         t = frames * self.block_size
         sr = self.sample_rate
 
-        # control network (reference decoder.py:43-68, 101-117)
-        hidden = torch.cat(
-            [torch_mlp(self._f0_mlp, f0), torch_mlp(self._loud_mlp, loudness)],
-            -1,
-        )
+        # control network (reference decoder.py:43-68, 101-117; z branch
+        # reference encoder.py:33-35)
+        parts = [torch_mlp(self._f0_mlp, f0),
+                 torch_mlp(self._loud_mlp, loudness)]
+        if self._z_mlp is not None:
+            parts.append(torch_mlp(self._z_mlp, z))
+        hidden = torch.cat(parts, -1)
         gru_out, _ = self.gru(hidden)
         hidden = torch_mlp(self._out_mlp,
                            torch.cat([gru_out, f0, loudness], -1))
@@ -159,3 +165,33 @@ class TorchReferenceDecoder:
         if self.has_reverb:
             return torch_fft_convolve(dry, self.reverb_ir[None, :t])
         return dry
+
+
+class TorchReferenceAutoencoder:
+    """The reference's mfcc-autoencoder forward (reference encoder.py:29-141):
+    MFCCEncoder (LayerNorm → GRU → Linear z, encoder.py:10-27) feeding the
+    z-conditioned decoder.  Weights transplanted from this framework's
+    DDSPAutoencoder params."""
+
+    def __init__(self, params, *, sample_rate: int, block_size: int,
+                 n_harmonic: int, hidden_size: int, has_reverb: bool = False):
+        ep = params["encoder"]
+        self._ln_scale = torch.tensor(np.asarray(ep["LayerNorm_0"]["scale"]))
+        self._ln_bias = torch.tensor(np.asarray(ep["LayerNorm_0"]["bias"]))
+        n_mfccs = self._ln_scale.shape[-1]
+        self.enc_gru = make_torch_gru(ep["GRU_0"], n_mfccs, hidden_size)
+        self._zw = torch.tensor(np.asarray(ep["Dense_0"]["kernel"]))
+        self._zb = torch.tensor(np.asarray(ep["Dense_0"]["bias"]))
+        self.decoder = TorchReferenceDecoder(
+            params, sample_rate=sample_rate, block_size=block_size,
+            n_harmonic=n_harmonic, hidden_size=hidden_size,
+            has_reverb=has_reverb, has_z=True,
+        )
+
+    @torch.no_grad()
+    def __call__(self, f0, loudness, mfcc, noise=None):
+        x = F.layer_norm(mfcc, (mfcc.shape[-1],), self._ln_scale,
+                         self._ln_bias)
+        x, _ = self.enc_gru(x)
+        z = x @ self._zw + self._zb
+        return self.decoder(f0, loudness, z=z, noise=noise)

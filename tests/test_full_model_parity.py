@@ -15,7 +15,10 @@ import torch
 from ddsp_pytorch_tpu.config import Config
 from ddsp_pytorch_tpu.models import load_model
 from ddsp_pytorch_tpu.streaming import init_stream_state
-from ddsp_pytorch_tpu.utils.torch_reference import TorchReferenceDecoder
+from ddsp_pytorch_tpu.utils.torch_reference import (
+    TorchReferenceAutoencoder,
+    TorchReferenceDecoder,
+)
 
 SR, BLOCK, HIDDEN, K, BANDS = 16000, 64, 32, 8, 9
 FRAMES = 48
@@ -91,4 +94,75 @@ def test_full_decoder_forward_matches_torch_restatement(rng):
 
     np.testing.assert_allclose(ours, want, atol=2e-3)
     # sanity: the signal is non-trivial
+    assert np.abs(ours).max() > 1e-3
+
+
+def test_full_autoencoder_forward_matches_torch_restatement(rng):
+    from ddsp_pytorch_tpu.models.encoder import N_MFCCS
+
+    cfg = Config.from_dict(
+        {
+            "preprocess": {"sample_rate": SR, "signal_length": FRAMES * BLOCK,
+                           "block_size": BLOCK},
+            "model": {
+                "name": "mfcc-autoencoder",
+                "kwargs": {
+                    "hidden_size": HIDDEN,
+                    "n_harmonic": K,
+                    "n_bands": BANDS,
+                    "sample_rate": SR,
+                    "block_size": BLOCK,
+                    "has_reverb": True,
+                    "use_pallas": "never",
+                },
+            },
+        }
+    )
+    model = load_model(cfg)
+    t = FRAMES * BLOCK
+    batch = {
+        "sig": jnp.zeros((1, t), jnp.float32),
+        "pitch": jnp.asarray(
+            rng.uniform(150, 350, (1, FRAMES, 1)).astype(np.float32)
+        ),
+        "loudness": jnp.asarray(
+            rng.standard_normal((1, FRAMES, 1)).astype(np.float32)
+        ),
+        "mfcc": jnp.asarray(
+            rng.standard_normal((1, FRAMES, N_MFCCS)).astype(np.float32)
+        ),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+
+    # ---- ours: the offline forward (reverb included), with the internal
+    # noise draw recovered via sample_noise (bit-identical stream contract)
+    noise_key = jax.random.PRNGKey(7)
+    ours = np.asarray(
+        model.apply({"params": params}, batch, rngs={"noise": noise_key})[
+            "signal"
+        ]
+    )[0]
+    noise = model.apply(
+        {"params": params},
+        batch["pitch"],
+        rngs={"noise": noise_key},
+        method=model.sample_noise,
+    )
+
+    # ---- torch re-statement (encoder.py:10-27 + decoder z branch)
+    ref = TorchReferenceAutoencoder(
+        params, sample_rate=SR, block_size=BLOCK, n_harmonic=K,
+        hidden_size=HIDDEN, has_reverb=True,
+    )
+    want = ref(
+        torch.tensor(np.asarray(batch["pitch"])),
+        torch.tensor(np.asarray(batch["loudness"])),
+        torch.tensor(np.asarray(batch["mfcc"])),
+        noise=torch.tensor(np.asarray(noise)),
+    ).numpy()[0]
+
+    np.testing.assert_allclose(ours, want, atol=2e-3)
     assert np.abs(ours).max() > 1e-3
