@@ -216,8 +216,10 @@ def summarize_cents(abs_err: np.ndarray, threshold_cents: float = 50.0) -> dict:
     pitch_accuracy.py aggregates per-family/overall through this too)."""
     abs_err = np.asarray(abs_err, np.float64)
     if abs_err.size == 0:
-        return {"rpa": 0.0, "mean_abs_cents": float("inf"),
-                "median_abs_cents": float("inf"), "n_frames": 0}
+        # JSON-safe sentinel (None → null) — float('inf') would serialize as
+        # the non-standard `Infinity` token via json.dump.
+        return {"rpa": 0.0, "mean_abs_cents": None,
+                "median_abs_cents": None, "n_frames": 0}
     return {
         "rpa": float(np.mean(abs_err <= threshold_cents)),
         "mean_abs_cents": float(np.mean(abs_err)),

@@ -28,15 +28,26 @@ import torch.nn.functional as F
 import torch.fft as tfft
 
 
+def _to_torch_tree(params):
+    """Recursively convert a (possibly flax/numpy) param subtree to torch
+    tensors — done ONCE at construction so no conversion cost lands inside
+    the timed benchmark region (scripts/bench_reference_cpu.py)."""
+    if isinstance(params, dict):
+        return {k: _to_torch_tree(v) for k, v in params.items()}
+    return torch.tensor(np.asarray(params))
+
+
 def torch_mlp(params, x):
-    """3×[Linear → LayerNorm → LeakyReLU] (reference core.py:122-129)."""
+    """3×[Linear → LayerNorm → LeakyReLU] (reference core.py:122-129).
+    `params` must already be torch tensors (see _to_torch_tree)."""
     for i in range(3):
-        w = torch.tensor(np.asarray(params[f"Dense_{i}"]["kernel"]))
-        b = torch.tensor(np.asarray(params[f"Dense_{i}"]["bias"]))
-        x = x @ w + b
-        scale = torch.tensor(np.asarray(params[f"LayerNorm_{i}"]["scale"]))
-        bias = torch.tensor(np.asarray(params[f"LayerNorm_{i}"]["bias"]))
-        x = F.layer_norm(x, (x.shape[-1],), scale, bias)
+        x = x @ params[f"Dense_{i}"]["kernel"] + params[f"Dense_{i}"]["bias"]
+        x = F.layer_norm(
+            x,
+            (x.shape[-1],),
+            params[f"LayerNorm_{i}"]["scale"],
+            params[f"LayerNorm_{i}"]["bias"],
+        )
         x = F.leaky_relu(x)
     return x
 
@@ -96,10 +107,10 @@ class TorchReferenceDecoder:
         self.has_reverb = has_reverb
 
         dp = params["decoder"]
-        self._f0_mlp = dp["f0_mlp"]
-        self._loud_mlp = dp["loudness_mlp"]
-        self._z_mlp = dp["z_mlp"] if has_z else None
-        self._out_mlp = dp["out_mlp"]
+        self._f0_mlp = _to_torch_tree(dp["f0_mlp"])
+        self._loud_mlp = _to_torch_tree(dp["loudness_mlp"])
+        self._z_mlp = _to_torch_tree(dp["z_mlp"]) if has_z else None
+        self._out_mlp = _to_torch_tree(dp["out_mlp"])
         n_inputs = 3 if has_z else 2
         self.gru = make_torch_gru(dp["gru"], n_inputs * hidden_size,
                                   hidden_size)
@@ -163,7 +174,13 @@ class TorchReferenceDecoder:
 
         dry = harmonic + noise_audio
         if self.has_reverb:
-            return torch_fft_convolve(dry, self.reverb_ir[None, :t])
+            # Match reference modules.py:28-35: the 1 s IR is zero-padded to
+            # the signal length when the signal is longer, truncated when it
+            # is shorter.
+            ir = self.reverb_ir
+            if t > ir.shape[-1]:
+                ir = F.pad(ir, (0, t - ir.shape[-1]))
+            return torch_fft_convolve(dry, ir[None, :t])
         return dry
 
 

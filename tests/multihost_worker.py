@@ -39,7 +39,18 @@ def main() -> int:
             num_processes=args.nproc,
             process_id=args.pid,
         )
-    except Exception as e:  # no Gloo/distributed backend in this jaxlib
+    except (RuntimeError, NotImplementedError) as e:
+        # Only an unavailable distributed backend maps to the skip sentinel;
+        # anything else (bad coordinator address, port collision, genuine
+        # regression) must fail the parent test, not silently skip it.
+        msg = str(e).lower()
+        backend_unavailable = any(
+            s in msg
+            for s in ("unimplemented", "not available", "not implemented",
+                      "no distributed", "unavailable")
+        )
+        if not backend_unavailable:
+            raise
         print(f"[worker {args.pid}] jax.distributed.initialize failed: {e!r}")
         return 42  # sentinel: parent test skips instead of failing
 
