@@ -163,6 +163,42 @@ def sharded_fft_convolve_causal(
 # ------------------------------------------------- sharded multiscale loss
 
 
+def reflect_tail_into_pad(
+    x_local: jax.Array, t_valid: int, axis: str = "time"
+) -> jax.Array:
+    """Overwrite this shard's samples at global index g ≥ t_valid with the
+    signal's reflection about its true end (inside shard_map): the result on
+    [t_valid, T_pad) equals jnp.pad(x[:t_valid], mode='reflect') —
+    out[t_valid + k] = x[t_valid - 2 - k].
+
+    This is how pad-and-mask time sharding reproduces torch.stft's
+    center=True reflect padding (reference core.py:27-41) at the TRUE signal
+    boundary when the sharded signal is padded to T_pad > t_valid for shape
+    divisibility.  Requires the pad region and its reflection sources to
+    live on the LAST time shard — training/time_sharded.plan_time_padding
+    guarantees and validates this.  Differentiable: the gather's transpose
+    scatters pad-region cotangents back onto interior samples, exactly as
+    jnp.pad 'reflect' does in the unsharded loss.
+    """
+    b, c = x_local.shape
+    n = jax.lax.axis_size(axis)
+    t_pad = n * c
+    if t_valid >= t_pad:
+        return x_local
+    last_start = (n - 1) * c
+    g = last_start + np.arange(c)
+    src = np.where(g >= t_valid, 2 * (t_valid - 1) - g, g) - last_start
+    if src.min() < 0:
+        raise ValueError(
+            f"reflect_tail_into_pad: reflection sources reach below the last "
+            f"shard (t_valid={t_valid}, chunk={c}, shards={n}); the time "
+            f"padding plan must keep 2*t_valid - T_pad - 1 >= (n-1)*chunk"
+        )
+    j = jax.lax.axis_index(axis)
+    reflected = x_local[:, src]
+    return jnp.where(j == n - 1, reflected, x_local)
+
+
 def _edge_reflect(chunk: jax.Array, pad: int, side: str) -> jax.Array:
     """Reflect padding of a global edge computed from the edge shard's own
     samples (matches jnp.pad mode='reflect')."""
@@ -188,14 +224,18 @@ def _halo_exchange(x_local: jax.Array, pad: int, axis: str) -> jax.Array:
 
 
 def sharded_scale_mags(
-    x_local: jax.Array, n_fft: int, hop: int, axis: str = "time"
+    x_local: jax.Array, n_fft: int, hop: int, axis: str = "time",
+    t_valid: Optional[int] = None,
 ) -> tuple:
     """Magnitude STFT frames owned by this shard (inside shard_map).
 
     Returns (mags (B, n_loc, bins), valid (n_loc,) mask).  The global frame
-    set (center=True: 1 + T//hop frames) is partitioned by frame start; the
-    final global frame is owned by the last shard (the +1 slot is masked
-    elsewhere).  Requires C % hop == 0 and n_fft//2 ≤ C.
+    set (center=True on a length-t_valid signal: 1 + t_valid//hop frames) is
+    partitioned by frame center; each shard owns the frames centered inside
+    its chunk plus a +1 boundary slot that is valid only where it is not a
+    duplicate of the right neighbor's frame 0.  With t_valid < T_pad
+    (pad-and-mask time sharding), frames centered beyond the true signal end
+    are masked out.  Requires C % hop == 0 and n_fft//2 ≤ C.
     """
     b, c = x_local.shape
     pad = n_fft // 2
@@ -220,10 +260,14 @@ def sharded_scale_mags(
 
     n = jax.lax.axis_size(axis)
     j = jax.lax.axis_index(axis)
-    is_last = (j == n - 1).astype(x_local.dtype)
-    valid = jnp.concatenate(
-        [jnp.ones((n_loc - 1,), x_local.dtype), is_last[None]]
+    if t_valid is None:
+        t_valid = n * c
+    centers = j * c + jnp.arange(n_loc) * hop  # global frame centers
+    is_last = j == n - 1
+    owned = jnp.concatenate(
+        [jnp.ones((n_loc - 1,), bool), is_last[None]]
     )
+    valid = (owned & (centers <= t_valid)).astype(x_local.dtype)
     return mags, valid
 
 
@@ -234,12 +278,19 @@ def sharded_multiscale_spec_loss(
     overlap: float,
     axis: str = "time",
     batch_axis: Optional[str] = "data",
+    t_valid: Optional[int] = None,
 ) -> jax.Array:
     """Sharded multi-scale spectral loss (inside shard_map) == the unsharded
     training loss (training/loss.py) on the gathered signal.
 
     Reduces over the time shards AND (if batch_axis given) the data shards,
     so the scalar is the global batch mean, replicated on every device.
+    With t_valid set (pad-and-mask time sharding), frames centered beyond
+    the true signal end are excluded and the mean normalizes by the
+    unsharded frame count 1 + t_valid//hop; the caller must have written
+    the reflection about t_valid into both signals' pad regions
+    (reflect_tail_into_pad) so valid edge frames match the unsharded
+    center-reflect STFT exactly.
     """
     total = jnp.asarray(0.0, jnp.float32)
     b = target_local.shape[0]
@@ -247,10 +298,11 @@ def sharded_multiscale_spec_loss(
     c = target_local.shape[-1]
     reduce_axes = (axis,) if batch_axis is None else (axis, batch_axis)
     b_global = b if batch_axis is None else b * jax.lax.axis_size(batch_axis)
+    t_total = n * c if t_valid is None else t_valid
     for s in scales:
         hop = int(s * (1.0 - overlap))
-        mags_t, valid = sharded_scale_mags(target_local, s, hop, axis)
-        mags_r, _ = sharded_scale_mags(recon_local, s, hop, axis)
+        mags_t, valid = sharded_scale_mags(target_local, s, hop, axis, t_valid)
+        mags_r, _ = sharded_scale_mags(recon_local, s, hop, axis, t_valid)
         w = valid[None, :, None]
         lin_sum = jnp.sum(jnp.abs(mags_t - mags_r) * w)
         log_sum = jnp.sum(
@@ -259,7 +311,7 @@ def sharded_multiscale_spec_loss(
         lin_sum = jax.lax.psum(lin_sum, reduce_axes)
         log_sum = jax.lax.psum(log_sum, reduce_axes)
         bins = s // 2 + 1
-        n_frames_global = 1 + (n * c) // hop
+        n_frames_global = 1 + t_total // hop
         count = b_global * bins * n_frames_global
         total = total + (lin_sum + log_sum) / count
     return total
@@ -294,11 +346,16 @@ def make_time_sharded_synth(
     )
 
 
-def make_time_sharded_loss(mesh: Mesh, scales: Sequence[int], overlap: float):
+def make_time_sharded_loss(
+    mesh: Mesh, scales: Sequence[int], overlap: float,
+    t_valid: Optional[int] = None,
+):
     """jit-able (target (B, T), recon (B, T)) → scalar loss, T over 'time'."""
 
     def fn(t, r):
-        return sharded_multiscale_spec_loss(t, r, scales, overlap)
+        return sharded_multiscale_spec_loss(
+            t, r, scales, overlap, t_valid=t_valid
+        )
 
     return shard_map(
         fn,

@@ -112,6 +112,62 @@ def test_time_sharded_loss_matches_unsharded(rng):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
 
 
+def test_padded_masked_loss_and_grads_match_unsharded(rng):
+    """Pad-and-mask exactness in isolation: the time-sharded multiscale
+    loss of a zero-padded signal pair — pad region rewritten with the
+    reflection about the true end (reflect_tail_into_pad), frames beyond it
+    masked — equals the UNSHARDED loss of the unpadded signals, value AND
+    gradient, to f32 round-off.  This pins the pad-and-mask machinery the
+    end-to-end equivalence tests (test_time_sharded_training.py) rely on;
+    their looser elementwise slack absorbs only distributed-phase-scan
+    noise, not loss error."""
+    from jax.sharding import PartitionSpec as P
+
+    from ddsp_pytorch_tpu.parallel.ops import (
+        checked_shard_map,
+        reflect_tail_into_pad,
+        sharded_multiscale_spec_loss,
+    )
+
+    b, t_valid, t_pad = 2, 4544, 5120  # chunk 1280, pad 576 >= n_fft/2
+    scales, overlap = [512, 256], 0.75
+    x = jnp.asarray(rng.standard_normal((b, t_valid)).astype(np.float32)) * 0.1
+    y = jnp.asarray(rng.standard_normal((b, t_valid)).astype(np.float32)) * 0.1
+
+    def unsharded(r):
+        loss, _, _ = spectral_loss_from_signals(x, r, scales, overlap)
+        return loss
+
+    want = unsharded(y)
+    g_want = jax.grad(unsharded)(y)
+
+    mesh = make_mesh(data=2, time=4)
+
+    def core(tgt, rec):
+        tgt = reflect_tail_into_pad(tgt, t_valid)
+        rec = reflect_tail_into_pad(rec, t_valid)
+        return sharded_multiscale_spec_loss(
+            tgt, rec, scales, overlap, t_valid=t_valid
+        )
+
+    sharded_core = checked_shard_map(
+        core, mesh=mesh,
+        in_specs=(P("data", "time"), P("data", "time")), out_specs=P(),
+    )
+
+    def sharded(r):
+        pad = ((0, 0), (0, t_pad - t_valid))
+        return sharded_core(jnp.pad(x, pad), jnp.pad(r, pad))
+
+    got = jax.jit(sharded)(y)
+    g_got = jax.jit(jax.grad(sharded))(y)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want),
+        atol=1e-6 * float(np.max(np.abs(g_want))),
+    )
+
+
 def test_time_sharded_reverb_matches_fft_convolve(rng):
     """Overlap-scatter block convolution == reference-semantics reverb conv
     (causal, IR padded to signal length)."""

@@ -24,6 +24,7 @@ from ddsp_pytorch_tpu.parallel.sharding import (
 from ddsp_pytorch_tpu.training import create_train_state, make_train_step
 from ddsp_pytorch_tpu.training.time_sharded import (
     make_time_sharded_train_step,
+    plan_time_padding,
     validate_time_sharding,
 )
 
@@ -56,8 +57,8 @@ def _config(has_reverb: bool, autoencoder: bool = False) -> Config:
     )
 
 
-def _batch(rng, cfg: Config, autoencoder: bool = False):
-    b, t = 4, cfg.preprocess.signal_length
+def _batch(rng, cfg: Config, autoencoder: bool = False, batch_size: int = 4):
+    b, t = batch_size, cfg.preprocess.signal_length
     f = cfg.n_frames
     batch = {
         "sig": jnp.asarray(rng.standard_normal((b, t)).astype(np.float32)) * 0.1,
@@ -73,15 +74,16 @@ def _batch(rng, cfg: Config, autoencoder: bool = False):
     return batch
 
 
-def _run_pair(rng, has_reverb, autoencoder=False):
+def _run_pair(rng, has_reverb, autoencoder=False, cfg=None, batch_size=4):
     """One step of the unsharded and the time-sharded train step from the
     same initial state/batch; returns (single metrics+deltas, sharded
     metrics+deltas).  SGD so the param delta IS -lr*grad (Adam's first-step
     sign(g) normalization would amplify O(1e-6) phase-scan noise on
     near-zero grads into O(lr) param diffs)."""
-    cfg = _config(has_reverb, autoencoder)
+    if cfg is None:
+        cfg = _config(has_reverb, autoencoder)
     model = load_model(cfg)
-    batch = _batch(rng, cfg, autoencoder)
+    batch = _batch(rng, cfg, autoencoder, batch_size=batch_size)
     tx = optax.sgd(0.1)
 
     state0 = create_train_state(model, batch, tx, seed=0)
@@ -110,25 +112,32 @@ def _run_pair(rng, has_reverb, autoencoder=False):
     return (m_single, delta_single), (m_sharded, delta_sharded)
 
 
-def _assert_close(pair):
+def _assert_close(pair, delta_tol=2e-2, grad_norm_rtol=1e-3):
     (m_single, d_single), (m_sharded, d_sharded) = pair
     np.testing.assert_allclose(
         float(m_sharded["loss"]), float(m_single["loss"]), rtol=1e-4
     )
     np.testing.assert_allclose(
-        float(m_sharded["grad_norm"]), float(m_single["grad_norm"]), rtol=1e-3
+        float(m_sharded["grad_norm"]), float(m_single["grad_norm"]),
+        rtol=grad_norm_rtol,
     )
     flat_s = jax.tree_util.tree_leaves_with_path(d_single)
     flat_t = jax.tree.leaves(d_sharded)
     assert len(flat_s) == len(flat_t)
     for (path, a), b in zip(flat_s, flat_t):
-        # 2% of the tensor's max |delta|: the sharded reverb computes its
-        # tails with different FFT sizes than the unsharded full-signal
-        # convolution (2048-pt local vs 8192-pt global), so f32 grads agree
-        # to ~1e-2 of scale, not bitwise.
+        # delta_tol × the tensor's max |delta|: the sharded reverb computes
+        # its tails with different FFT sizes than the unsharded full-signal
+        # convolution, and the distributed phase scan reorders f32 wrapped
+        # sums, so grads agree to ~1e-2 of scale, not bitwise.  Padded
+        # shapes pass a larger delta_tol: the scan's ~1e-4 audio-level wrap
+        # noise moves these tiny (≲1e-4-scale) grads by ~4e-2 of scale —
+        # measured directly by perturbation analysis (a 1e-5-relative
+        # target perturbation moves them 4e-4 of scale; the phase noise is
+        # ~1e-3-relative).  The loss rtol=1e-4 above is the exactness
+        # contract of the pad-and-mask objective itself.
         scale = max(float(np.max(np.abs(a))), 1e-8)
         np.testing.assert_allclose(
-            b, a, atol=2e-2 * scale, rtol=1e-3,
+            b, a, atol=delta_tol * scale, rtol=1e-3,
             err_msg=f"param delta (=-lr*grad) mismatch at {path}",
         )
 
@@ -218,11 +227,11 @@ def test_trainer_fit_time_sharded(tmp_path, rng):
     assert int(state.step) >= 4
 
 
-def test_shipped_timesharded_config_validates():
-    """configs/config_timesharded.yaml (the full 48 kHz workload with
-    mesh.time=4) must satisfy the sharded-STFT shape constraints, and the
-    reference chunk length 192000 must NOT (its largest hop 1024 doesn't
-    divide 192000/4) — the reason the variant config exists."""
+def test_shipped_timesharded_config_is_the_reference_workload():
+    """configs/config_timesharded.yaml now IS the reference's canonical
+    192 000-sample config (reference config.yaml:5-28) with mesh.time=4:
+    plan_time_padding pads 375 → 384 frames (chunk 49152, every hop
+    divides, n_fft/2=2048 < chunk, reflection local to the last shard)."""
     import os
 
     cfg = Config.from_yaml(
@@ -230,33 +239,94 @@ def test_shipped_timesharded_config_validates():
                      "config_timesharded.yaml")
     )
     assert cfg.mesh.time == 4
+    assert cfg.preprocess.signal_length == 192000
     mesh = make_mesh(data=2, time=4)
-    validate_time_sharding(cfg, mesh)  # must not raise
-
-    ref = cfg.replace()
-    ref.preprocess = dataclasses_replace(ref.preprocess, signal_length=192000)
-    # 192000 fails on frame-count divisibility (375 frames % 4) before the
-    # hop check even runs
-    with pytest.raises(ValueError, match="time sharding"):
-        validate_time_sharding(ref, mesh)
-
-
-def dataclasses_replace(dc, **kw):
-    import dataclasses
-
-    return dataclasses.replace(dc, **kw)
+    plan = plan_time_padding(cfg, mesh)
+    assert (plan.frames, plan.frames_pad) == (375, 384)
+    assert plan.t_pad == 384 * 512 and plan.chunk == 49152
+    for n_time in (2, 8):
+        plan_n = plan_time_padding(cfg, make_mesh(data=8 // n_time,
+                                                  time=n_time))
+        assert plan_n.pad_samples <= 192000 * 0.1  # ≤10 % overhead
+        assert plan_n.t_pad % (n_time * 1024) == 0  # largest hop divides
 
 
-def test_validate_time_sharding_rejects_bad_shapes():
+def test_plan_time_padding_shapes():
     mesh = make_mesh(data=2, time=4)
-    # n_fft/2 = 1024 >= chunk 1024
+    # Divisible shape: no padding at all.
+    cfg = _config(has_reverb=False)  # 4096 samples, 64 frames, scales 512/256
+    plan = plan_time_padding(cfg, mesh)
+    assert plan.pad_frames == 0 and plan.t_pad == 4096
+    # A shape the old validator rejected (chunk 1088 % hop 128 != 0) now
+    # pads to the next valid chunk and masks the tail.
+    cfg2 = _config(has_reverb=False)
+    cfg2.preprocess.signal_length = 4096 + 256
+    cfg2.train.scales = [512]
+    plan2 = plan_time_padding(cfg2, mesh)
+    assert plan2.pad_frames > 0
+    assert plan2.chunk % 128 == 0
+    assert plan2.pad_samples >= 256  # >= n_fft/2
+    assert 2 * plan2.t_valid - plan2.t_pad - 1 >= 3 * plan2.chunk
+    # Genuinely impossible: scales so large that the required padding
+    # exceeds the signal itself.
     bad = _config(has_reverb=False)
     bad.train.scales = [2048]
-    with pytest.raises(ValueError, match="n_fft/2"):
+    with pytest.raises(ValueError, match="time sharding"):
         validate_time_sharding(bad, mesh)
-    # frames 68 % 4 == 0 but chunk 1088 % hop 128 != 0
-    bad2 = _config(has_reverb=False)
-    bad2.preprocess.signal_length = 4096 + 256
-    bad2.train.scales = [512]
-    with pytest.raises(ValueError, match="hop"):
-        validate_time_sharding(bad2, mesh)
+
+
+def test_time_sharded_step_matches_unsharded_padded_shape(rng):
+    """The pad-and-mask path end-to-end: a frame count NOT divisible by the
+    time axis (and not hop-aligned) trains sharded with the same loss and
+    param deltas as the unsharded step."""
+    cfg = _config(has_reverb=True)
+    cfg.preprocess.signal_length = 4096 + 448  # 71 frames: 71 % 4 != 0
+    mesh_plan = plan_time_padding(cfg, make_mesh(data=2, time=4))
+    assert mesh_plan.pad_frames > 0
+    # delta_tol: see _assert_close — the pad-and-mask OBJECTIVE is exact
+    # (loss rtol 1e-4 here; tests/test_parallel.py pins the masked-loss
+    # gradient to ~1e-7); the elementwise slack only absorbs f32 phase-wrap
+    # noise amplified onto ~1e-5-scale near-zero-init grads.
+    _assert_close(_run_pair(rng, has_reverb=True, cfg=cfg),
+                  delta_tol=1.5e-1, grad_norm_rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_time_sharded_step_matches_unsharded_reference_shape(rng):
+    """THE reference workload shape (48 kHz, 192 000 samples / 375 frames,
+    block 512, scales [4096…128] @ 0.75 — reference config.yaml:5-28)
+    shards at time=4 via pad-and-mask and matches the unsharded step."""
+    cfg = Config.from_dict(
+        {
+            "preprocess": {
+                "sample_rate": 48000,
+                "signal_length": 192000,
+                "block_size": 512,
+            },
+            "model": {
+                "name": "single-inst-decoder",
+                "kwargs": {
+                    "hidden_size": 8,
+                    "n_harmonic": 4,
+                    "n_bands": 5,
+                    "sample_rate": 48000,
+                    "block_size": 512,
+                    "has_reverb": True,
+                    "use_pallas": "never",
+                },
+            },
+            "train": {
+                "scales": [4096, 2048, 1024, 512, 256, 128],
+                "overlap": 0.75,
+                "batch": 2,
+            },
+        }
+    )
+    plan = plan_time_padding(cfg, make_mesh(data=2, time=4))
+    assert (plan.frames, plan.frames_pad) == (375, 384)
+    # grad_norm_rtol 2e-2: the aggregate norm is dominated by the 48 000-tap
+    # reverb-IR gradient, whose tails the sharded conv computes at different
+    # FFT sizes (131 072-pt per chunk vs 524 288-pt unsharded) — measured
+    # 1.1 % at this scale; loss and per-tensor deltas are the real contract.
+    _assert_close(_run_pair(rng, has_reverb=True, cfg=cfg, batch_size=2),
+                  delta_tol=1.5e-1, grad_norm_rtol=2e-2)
