@@ -148,8 +148,15 @@ def make_oof_corpus(
     families=FAMILIES,
     midi_range=(45, 76),
     seed: int = 0,
+    degrade_fn=None,
 ) -> dict:
     """Write an out-of-family wav corpus + ground-truth sidecar.
+
+    degrade_fn: optional (sig, sr) -> sig applied AFTER the ground-truth
+    f0/voicing is computed from the clean signal (make_degrader) — the
+    truth stays clean, so the corpus measures tracker/pipeline robustness
+    under degradation.  midi_range=(36, 86) reaches the ~65 Hz cello /
+    ~1.2 kHz flute pitch extremes.
 
     Layout (preprocess.py-compatible):
       out_dir/train/<family>_<i>.wav
@@ -187,6 +194,8 @@ def make_oof_corpus(
             frame = max(1, sample_rate // 100)
             energy = np.convolve(sig**2, np.ones(frame) / frame, mode="same")
             voiced = energy > 1e-4
+            if degrade_fn is not None:
+                sig = degrade_fn(sig, sample_rate)
             stem = f"{family}_{i:02d}"
             save_wav(os.path.join(wav_dir, stem + ".wav"), sig, sample_rate)
             np.savez(
@@ -199,6 +208,140 @@ def make_oof_corpus(
     with open(os.path.join(out_dir, "truth", "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
+
+
+# ----------------------------------------------------------- degradation
+#
+# Realistic signal degradation over the out-of-family corpus (round-2
+# VERDICT "What's missing" #1): the reference's pretrained artifacts were
+# trained on real recordings and its pitch front-ends (pretrained CREPE,
+# reference ddsp/core.py:100-119; Pd sigmund~, reference
+# patches/preprocess.pd:1-37) face noisy, reverberant, mic-colored signals.
+# No real audio exists in this container, so the robustness evidence is
+# built from controlled degradation: additive colored noise at fixed SNR,
+# synthetic small-room impulse responses, and a mic-chain (high-pass +
+# presence EQ + soft clipping).  Ground-truth f0 stays the CLEAN truth, so
+# RPA-vs-degradation curves quantify tracker robustness directly.
+
+
+def colored_noise(n: int, rng, color: str = "pink") -> np.ndarray:
+    """Unit-variance noise: 'white', or 'pink' via 1/sqrt(f) FFT shaping
+    (the classic Voss spectrum — matches acoustic background noise better
+    than white)."""
+    w = rng.standard_normal(n)
+    if color == "white":
+        out = w
+    elif color == "pink":
+        spec = np.fft.rfft(w)
+        f = np.fft.rfftfreq(n)
+        f[0] = f[1] if n > 1 else 1.0
+        spec = spec / np.sqrt(f)
+        spec[0] = 0.0
+        out = np.fft.irfft(spec, n)
+    else:
+        raise ValueError(f"unknown noise color {color!r}")
+    return (out / (np.std(out) + 1e-12)).astype(np.float32)
+
+
+def add_noise_snr(sig: np.ndarray, snr_db: float, rng,
+                  color: str = "pink") -> np.ndarray:
+    """Additive noise at a fixed SNR (dB) relative to the signal's power."""
+    p_sig = float(np.mean(np.square(sig))) + 1e-12
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    noise = colored_noise(len(sig), rng, color) * np.sqrt(p_noise)
+    return (sig + noise).astype(np.float32)
+
+
+def room_impulse_response(sr: int, rng, rt60: float = 0.3,
+                          direct_to_reverb_db: float = 6.0) -> np.ndarray:
+    """Synthetic small-room IR: unit direct tap, sparse early reflections
+    (3-8 within 5-40 ms, alternating sign, distance-decayed), and a
+    Gaussian late tail with exponential RT60 decay.  The tail's energy sits
+    `direct_to_reverb_db` below the direct path."""
+    length = int(rt60 * 1.5 * sr)
+    t = np.arange(length) / sr
+    ir = np.zeros(length, np.float32)
+    ir[0] = 1.0
+    n_early = int(rng.integers(3, 9))
+    for k in range(n_early):
+        delay = rng.uniform(0.005, 0.040)
+        i = int(delay * sr)
+        if i < length:
+            ir[i] += rng.choice([-1.0, 1.0]) * rng.uniform(0.2, 0.6) \
+                * np.exp(-delay * 50.0)
+    tail = rng.standard_normal(length) * np.exp(-t * (6.908 / rt60))
+    tail[: int(0.005 * sr)] = 0.0  # tail starts after the direct sound
+    tail_gain = np.sqrt(10.0 ** (-direct_to_reverb_db / 10.0)
+                        / (np.sum(tail ** 2) + 1e-12))
+    return (ir + tail * tail_gain).astype(np.float32)
+
+
+def apply_reverb(sig: np.ndarray, ir: np.ndarray) -> np.ndarray:
+    from scipy.signal import fftconvolve
+
+    return fftconvolve(sig, ir)[: len(sig)].astype(np.float32)
+
+
+def _biquad_peaking(sr: int, fc: float, gain_db: float, q: float = 1.0):
+    """RBJ peaking-EQ biquad (b, a) coefficients."""
+    a_lin = 10.0 ** (gain_db / 40.0)
+    w0 = 2 * np.pi * fc / sr
+    alpha = np.sin(w0) / (2 * q)
+    b = [1 + alpha * a_lin, -2 * np.cos(w0), 1 - alpha * a_lin]
+    a = [1 + alpha / a_lin, -2 * np.cos(w0), 1 - alpha / a_lin]
+    return b, a
+
+
+def mic_chain(sig: np.ndarray, sr: int, *, hp_hz: float = 80.0,
+              presence_hz: float = 4000.0, presence_db: float = 6.0,
+              drive: float = 3.0) -> np.ndarray:
+    """Small-diaphragm mic + preamp coloration: 2nd-order Butterworth
+    high-pass (proximity/rumble filter), presence-peak EQ, and tanh soft
+    clipping with unity small-signal gain."""
+    from scipy.signal import butter, lfilter
+
+    b, a = butter(2, hp_hz / (sr / 2), btype="highpass")
+    out = lfilter(b, a, sig)
+    pb, pa = _biquad_peaking(sr, min(presence_hz, 0.45 * sr), presence_db)
+    out = lfilter(pb, pa, out)
+    peak = np.max(np.abs(out)) + 1e-9
+    out = np.tanh(drive * out / peak) * peak / np.tanh(drive)
+    return out.astype(np.float32)
+
+
+def make_degrader(*, snr_db=None, noise_color: str = "pink", rt60=None,
+                  mic: bool = False, seed: int = 1234):
+    """Compose a degradation fn (sig, sr) -> sig: reverb → mic chain →
+    additive noise (the acoustic order: room, then transducer, then
+    electrical noise floor).  Deterministic per-call via its own rng."""
+    rng = np.random.default_rng(seed)
+
+    def fn(sig: np.ndarray, sr: int) -> np.ndarray:
+        out = np.asarray(sig, np.float32)
+        if rt60 is not None:
+            out = apply_reverb(out, room_impulse_response(sr, rng, rt60))
+        if mic:
+            out = mic_chain(out, sr)
+        if snr_db is not None:
+            out = add_noise_snr(out, snr_db, rng, noise_color)
+        peak = np.max(np.abs(out)) + 1e-9
+        return (0.7 * out / peak).astype(np.float32)
+
+    return fn
+
+
+# Named degradation conditions for the RPA robustness artifact
+# (scripts/pitch_accuracy.py --degraded) and the degraded-corpus training
+# evidence (scripts/train_oof.py --degrade).
+DEGRADATIONS = {
+    "clean": dict(),
+    "snr20": dict(snr_db=20.0),
+    "snr10": dict(snr_db=10.0),
+    "snr0": dict(snr_db=0.0),
+    "reverb": dict(rt60=0.3),
+    "mic": dict(mic=True),
+    "full_chain": dict(rt60=0.3, mic=True, snr_db=10.0),
+}
 
 
 # ------------------------------------------------------------ RPA scoring

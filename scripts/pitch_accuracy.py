@@ -94,6 +94,49 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
             "per_file": per_file}
 
 
+def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
+                      crepe_capacity: str, n_validation: int = 9) -> dict:
+    """RPA degradation curves (round-2 VERDICT next-round #1): score YIN +
+    CREPE on the SAME out-of-family notes under every named degradation
+    condition (fixtures.DEGRADATIONS: SNR 20/10/0 dB pink noise, small-room
+    reverb, mic chain, the full chain), plus the pitch-extreme register
+    (~65 Hz cello to ~1.2 kHz flute, midi 36-86) clean and degraded.
+    Ground truth is always the clean f0."""
+    from ddsp_pytorch_tpu.data.fixtures import (
+        DEGRADATIONS,
+        make_degrader,
+        make_oof_corpus,
+    )
+
+    root = tempfile.mkdtemp()
+    out = {"sample_rate": sample_rate, "block_size": block_size,
+           "n_validation": n_validation, "conditions": {}, "extremes": {}}
+
+    def run(tag, midi_range, cond_kwargs, bucket):
+        corpus = os.path.join(root, bucket + "_" + tag)
+        degr = make_degrader(**cond_kwargs) if cond_kwargs else None
+        make_oof_corpus(corpus, sample_rate=sample_rate, n_train=0,
+                        n_validation=n_validation, midi_range=midi_range,
+                        seed=0, degrade_fn=degr)
+        rep = score_corpus(corpus, block_size, crepe_bundle=crepe_bundle,
+                           crepe_capacity=crepe_capacity)
+        # keep the summaries; per-file rows would repeat 2×9×N times
+        out[bucket][tag] = {
+            name: s for name, s in rep["summary"].items()
+        }
+        for name, s in rep["summary"].items():
+            o = s["overall"]
+            print(f"  [{bucket}/{tag}] {name}: RPA@50c={o['rpa']:.3f} "
+                  f"mean|cents|={o['mean_abs_cents']:.1f} "
+                  f"n={o['n_frames']}")
+
+    for tag, kwargs in DEGRADATIONS.items():
+        run(tag, (45, 76), kwargs, "conditions")
+    run("clean", (36, 86), {}, "extremes")
+    run("snr10_reverb", (36, 86), dict(snr_db=10.0, rt60=0.3), "extremes")
+    return out
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--platform", default=None)
@@ -104,11 +147,27 @@ def main():
     p.add_argument("--crepe", default="pretrained/crepe_tiny.msgpack")
     p.add_argument("--crepe-capacity", default="tiny")
     p.add_argument("--out", default="pretrained/pitch_accuracy.json")
+    p.add_argument("--degraded", action="store_true",
+                   help="produce RPA degradation curves over all "
+                        "fixtures.DEGRADATIONS conditions + pitch extremes")
+    p.add_argument("--n-validation", type=int, default=9)
     args = p.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    crepe = args.crepe if args.crepe and os.path.exists(args.crepe) else None
+    if args.degraded:
+        out_path = (args.out if args.out != "pretrained/pitch_accuracy.json"
+                    else "pretrained/pitch_robustness.json")
+        report = robustness_report(args.sample_rate, args.block_size, crepe,
+                                   args.crepe_capacity, args.n_validation)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_path}")
+        return
 
     corpus = args.corpus
     if corpus is None:
@@ -116,10 +175,9 @@ def main():
 
         corpus = os.path.join(tempfile.mkdtemp(), "oof")
         make_oof_corpus(corpus, sample_rate=args.sample_rate,
-                        n_train=0, n_validation=9)
+                        n_train=0, n_validation=args.n_validation)
         print(f"generated corpus at {corpus}")
 
-    crepe = args.crepe if args.crepe and os.path.exists(args.crepe) else None
     report = score_corpus(corpus, args.block_size, crepe_bundle=crepe,
                           crepe_capacity=args.crepe_capacity)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

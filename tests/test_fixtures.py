@@ -115,3 +115,103 @@ def test_crepe_rpa_on_out_of_family(tmp_path):
     overall = report["summary"]["crepe"]["overall"]
     assert overall["rpa"] >= 0.9, report["summary"]["crepe"]
     assert report["summary"]["yin"]["overall"]["rpa"] >= 0.95
+
+
+# ----------------------------------------------------------- degradation
+
+
+def test_add_noise_snr_hits_target():
+    from ddsp_pytorch_tpu.data.fixtures import add_noise_snr
+
+    rng = np.random.default_rng(0)
+    sig = np.sin(2 * np.pi * 220 * np.arange(16000) / 16000).astype(np.float32)
+    for snr in (0.0, 10.0, 20.0):
+        for color in ("white", "pink"):
+            out = add_noise_snr(sig, snr, np.random.default_rng(1), color)
+            noise = out - sig
+            got = 10 * np.log10(np.mean(sig**2) / np.mean(noise**2))
+            assert abs(got - snr) < 0.7, (snr, color, got)
+
+
+def test_room_impulse_response_properties():
+    from ddsp_pytorch_tpu.data.fixtures import room_impulse_response
+
+    sr, rt60 = 16000, 0.3
+    ir = room_impulse_response(sr, np.random.default_rng(0), rt60=rt60)
+    assert ir[0] == 1.0  # unit direct tap
+    assert len(ir) == int(rt60 * 1.5 * sr)
+    # the LATE tail (past the 40 ms early-reflection window) sits well
+    # below the direct path (the diffuse field is ~6 dB down and decaying)
+    late = ir[int(0.045 * sr):]
+    ratio_db = 10 * np.log10(1.0 / (np.sum(late**2) + 1e-12))
+    assert ratio_db > 4.0, ratio_db
+    # energy decays: second half much quieter than first half of the tail
+    half = len(ir) // 2
+    assert np.sum(ir[half:] ** 2) < 0.2 * np.sum(ir[1:half] ** 2)
+
+
+def test_mic_chain_shapes_spectrum():
+    from ddsp_pytorch_tpu.data.fixtures import mic_chain
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(sr).astype(np.float32) * 0.1
+    # near-linear drive isolates the EQ stages (tanh intermodulation would
+    # refill the stopband otherwise)
+    out = mic_chain(sig, sr, drive=0.1)
+    assert out.shape == sig.shape and out.dtype == np.float32
+    spec_in = np.abs(np.fft.rfft(sig))
+    spec_out = np.abs(np.fft.rfft(out))
+    f = np.fft.rfftfreq(sr, 1 / sr)
+    # high-pass attenuates < 40 Hz strongly
+    low = (f > 5) & (f < 40)
+    assert np.median(spec_out[low] / spec_in[low]) < 0.3
+    # presence band (3.5-4.5 kHz) boosted relative to the 1 kHz band
+    pres = (f > 3500) & (f < 4500)
+    mid = (f > 800) & (f < 1200)
+    gain_pres = np.median(spec_out[pres] / spec_in[pres])
+    gain_mid = np.median(spec_out[mid] / spec_in[mid])
+    assert gain_pres > 1.3 * gain_mid
+    # at full drive the soft clip compresses the crest factor
+    clipped = mic_chain(sig, sr, drive=3.0)
+    crest = lambda x: np.max(np.abs(x)) / (np.sqrt(np.mean(x**2)) + 1e-12)
+    assert crest(clipped) < 0.9 * crest(out)
+
+
+def test_make_degrader_deterministic_and_bounded():
+    from ddsp_pytorch_tpu.data.fixtures import DEGRADATIONS, make_degrader
+
+    rng = np.random.default_rng(0)
+    sig = np.sin(2 * np.pi * 220 * np.arange(8000) / 16000).astype(np.float32)
+    for name, kwargs in DEGRADATIONS.items():
+        if not kwargs:
+            continue
+        a = make_degrader(**kwargs)(sig, 16000)
+        b = make_degrader(**kwargs)(sig, 16000)
+        np.testing.assert_array_equal(a, b)  # seeded => reproducible
+        assert np.max(np.abs(a)) <= 0.7 + 1e-5  # renormalized
+        assert a.shape == sig.shape and a.dtype == np.float32
+
+
+def test_degraded_corpus_keeps_clean_truth(tmp_path):
+    """make_oof_corpus(degrade_fn=...) writes degraded wavs but clean
+    ground truth: the truth sidecar of the degraded corpus equals the clean
+    corpus's bit-for-bit (same seed), while the audio differs."""
+    from ddsp_pytorch_tpu.data.fixtures import make_degrader
+    from ddsp_pytorch_tpu.utils.audio_io import load_wav
+
+    clean = str(tmp_path / "clean")
+    deg = str(tmp_path / "deg")
+    make_oof_corpus(clean, sample_rate=16000, n_train=0, n_validation=3,
+                    seed=5)
+    make_oof_corpus(deg, sample_rate=16000, n_train=0, n_validation=3,
+                    seed=5, degrade_fn=make_degrader(snr_db=10.0, rt60=0.3))
+    for stem in os.listdir(os.path.join(clean, "validation")):
+        base = stem[:-4]
+        tc = np.load(os.path.join(clean, "truth", "validation", base + ".npz"))
+        td = np.load(os.path.join(deg, "truth", "validation", base + ".npz"))
+        np.testing.assert_array_equal(tc["f0"], td["f0"])
+        np.testing.assert_array_equal(tc["voiced"], td["voiced"])
+        a, _ = load_wav(os.path.join(clean, "validation", stem), 16000)
+        b, _ = load_wav(os.path.join(deg, "validation", stem), 16000)
+        assert np.max(np.abs(a - b)) > 0.01
