@@ -22,6 +22,16 @@ _RENDER_CB = ctypes.CFUNCTYPE(
     ctypes.c_void_p,
 )
 
+_RENDER_AUDIO_CB = ctypes.CFUNCTYPE(
+    None,
+    ctypes.POINTER(ctypes.c_float),  # pitch
+    ctypes.POINTER(ctypes.c_float),  # loudness
+    ctypes.POINTER(ctypes.c_float),  # input audio
+    ctypes.POINTER(ctypes.c_float),  # out
+    ctypes.c_int,
+    ctypes.c_void_p,
+)
+
 _DEFAULT_BUILD_DIRS = (
     os.path.join(os.path.dirname(__file__), "build"),
     "/tmp/rt_build",
@@ -54,15 +64,19 @@ def build_runtime(build_dir: Optional[str] = None) -> str:
 class StreamEngine:
     """Python handle on the C++ double-buffered engine.
 
-    render: callable (pitch (n,), loudness (n,)) -> audio (n,), invoked on
-    the engine's worker thread.
+    render: callable invoked on the engine's worker thread —
+      with_audio=False: (pitch (n,), loudness (n,)) -> audio (n,)
+      with_audio=True:  (pitch (n,), loudness (n,), audio_in (n,)) ->
+                        audio (n,)  (the mfcc-autoencoder timbre-transfer
+                        channel; ddsp_stream_create_audio)
     """
 
     def __init__(
         self,
         block_size: int,
-        render: Callable[[np.ndarray, np.ndarray], np.ndarray],
+        render: Callable[..., np.ndarray],
         library: Optional[str] = None,
+        with_audio: bool = False,
     ):
         path = _find_library(library)
         if path is None:
@@ -75,9 +89,22 @@ class StreamEngine:
         self._lib.ddsp_stream_create.argtypes = [
             ctypes.c_int, _RENDER_CB, ctypes.c_void_p,
         ]
+        self._lib.ddsp_stream_create_audio.restype = ctypes.c_void_p
+        self._lib.ddsp_stream_create_audio.argtypes = [
+            ctypes.c_int, _RENDER_AUDIO_CB, ctypes.c_void_p,
+        ]
         self._lib.ddsp_stream_process.restype = ctypes.c_int
         self._lib.ddsp_stream_process.argtypes = [
             ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        self._lib.ddsp_stream_process_audio.restype = ctypes.c_int
+        self._lib.ddsp_stream_process_audio.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
@@ -93,17 +120,14 @@ class StreamEngine:
 
         self._render_py = render
         self.block_size = block_size
+        self.with_audio = with_audio
         self._size_warned = False
 
-        def _cb(pitch_p, loud_p, out_p, n, _ctx):
-            pitch = np.ctypeslib.as_array(pitch_p, (n,)).copy()
-            loud = np.ctypeslib.as_array(loud_p, (n,)).copy()
+        def _emit(out_p, audio, n):
             # memmove reads raw bytes: the render result must be C-contiguous
             # float32 of exactly n samples, or we'd copy stride garbage /
             # read out of bounds on the realtime worker thread
-            audio = np.ascontiguousarray(
-                self._render_py(pitch, loud), np.float32
-            ).ravel()
+            audio = np.ascontiguousarray(audio, np.float32).ravel()
             if audio.size != n:
                 if not self._size_warned:
                     self._size_warned = True
@@ -117,23 +141,56 @@ class StreamEngine:
                 out_p, audio.ctypes.data, n * ctypes.sizeof(ctypes.c_float)
             )
 
-        self._cb = _RENDER_CB(_cb)  # keep a reference (GC safety)
-        self._engine = self._lib.ddsp_stream_create(block_size, self._cb, None)
+        if with_audio:
+            def _cb(pitch_p, loud_p, audio_p, out_p, n, _ctx):
+                pitch = np.ctypeslib.as_array(pitch_p, (n,)).copy()
+                loud = np.ctypeslib.as_array(loud_p, (n,)).copy()
+                audio_in = np.ctypeslib.as_array(audio_p, (n,)).copy()
+                _emit(out_p, self._render_py(pitch, loud, audio_in), n)
+
+            self._cb = _RENDER_AUDIO_CB(_cb)  # keep a reference (GC safety)
+            self._engine = self._lib.ddsp_stream_create_audio(
+                block_size, self._cb, None
+            )
+        else:
+            def _cb(pitch_p, loud_p, out_p, n, _ctx):
+                pitch = np.ctypeslib.as_array(pitch_p, (n,)).copy()
+                loud = np.ctypeslib.as_array(loud_p, (n,)).copy()
+                _emit(out_p, self._render_py(pitch, loud), n)
+
+            self._cb = _RENDER_CB(_cb)  # keep a reference (GC safety)
+            self._engine = self._lib.ddsp_stream_create(
+                block_size, self._cb, None
+            )
         if not self._engine:
             raise RuntimeError("ddsp_stream_create failed")
 
-    def process(self, pitch: np.ndarray, loudness: np.ndarray) -> np.ndarray:
-        """One audio tick: (n,) control in → (n,) audio out."""
+    def process(self, pitch: np.ndarray, loudness: np.ndarray,
+                audio: Optional[np.ndarray] = None) -> np.ndarray:
+        """One audio tick: (n,) control in → (n,) audio out.  `audio` feeds
+        the input-audio ring of a with_audio engine (None → silence)."""
         pitch = np.ascontiguousarray(pitch, np.float32)
         loudness = np.ascontiguousarray(loudness, np.float32)
         out = np.zeros_like(pitch)
-        rc = self._lib.ddsp_stream_process(
-            self._engine,
-            pitch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            loudness.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            len(pitch),
-        )
+        fp = ctypes.POINTER(ctypes.c_float)
+        if audio is not None:
+            audio = np.ascontiguousarray(audio, np.float32)
+            rc = self._lib.ddsp_stream_process_audio(
+                self._engine,
+                pitch.ctypes.data_as(fp),
+                loudness.ctypes.data_as(fp),
+                audio.ctypes.data_as(fp),
+                out.ctypes.data_as(fp),
+                len(pitch),
+            )
+        else:
+            rc = self._lib.ddsp_stream_process(
+                self._engine,
+                pitch.ctypes.data_as(fp),
+                loudness.ctypes.data_as(fp),
+                out.ctypes.data_as(fp),
+                len(pitch),
+            )
         if rc != 0:
             raise ValueError(f"tick size {len(pitch)} must divide block size")
         return out

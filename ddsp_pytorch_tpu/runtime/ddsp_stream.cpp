@@ -14,6 +14,7 @@ namespace {
 struct Engine {
   int block_size = 0;
   ddsp_render_fn render = nullptr;
+  ddsp_render_audio_fn render_audio = nullptr;  // audio-channel variant
   void *ctx = nullptr;
 
   // Double buffer: two halves of 2*block_size rings.  The audio thread
@@ -21,6 +22,7 @@ struct Engine {
   // worker renders half 1-h (same invariant as ddsp_tilde.cpp:75-95).
   std::vector<float> pitch_buf;     // 2 * block_size
   std::vector<float> loudness_buf;  // 2 * block_size
+  std::vector<float> audio_buf;     // 2 * block_size (input audio ring)
   std::vector<float> out_buf;       // 2 * block_size
   int head = 0;
 
@@ -47,8 +49,14 @@ void worker_main(Engine *e) {
       e->pending_half = -1;
     }
     const int off = half * e->block_size;
-    e->render(e->pitch_buf.data() + off, e->loudness_buf.data() + off,
-              e->out_buf.data() + off, e->block_size, e->ctx);
+    if (e->render_audio) {
+      e->render_audio(e->pitch_buf.data() + off, e->loudness_buf.data() + off,
+                      e->audio_buf.data() + off, e->out_buf.data() + off,
+                      e->block_size, e->ctx);
+    } else {
+      e->render(e->pitch_buf.data() + off, e->loudness_buf.data() + off,
+                e->out_buf.data() + off, e->block_size, e->ctx);
+    }
     e->blocks_rendered.fetch_add(1, std::memory_order_relaxed);
     {
       std::lock_guard<std::mutex> lock(e->mu);
@@ -62,18 +70,33 @@ void worker_main(Engine *e) {
 
 extern "C" {
 
-ddsp_stream_engine *ddsp_stream_create(int block_size, ddsp_render_fn render,
-                                       void *ctx) {
-  if (block_size <= 0 || render == nullptr) return nullptr;
+static ddsp_stream_engine *create_engine(int block_size, ddsp_render_fn render,
+                                         ddsp_render_audio_fn render_audio,
+                                         void *ctx) {
+  if (block_size <= 0 || (render == nullptr && render_audio == nullptr))
+    return nullptr;
   auto *e = new Engine();
   e->block_size = block_size;
   e->render = render;
+  e->render_audio = render_audio;
   e->ctx = ctx;
   e->pitch_buf.assign(2 * block_size, 0.0f);
   e->loudness_buf.assign(2 * block_size, 0.0f);
+  e->audio_buf.assign(2 * block_size, 0.0f);
   e->out_buf.assign(2 * block_size, 0.0f);
   e->worker = std::thread(worker_main, e);
   return reinterpret_cast<ddsp_stream_engine *>(e);
+}
+
+ddsp_stream_engine *ddsp_stream_create(int block_size, ddsp_render_fn render,
+                                       void *ctx) {
+  return create_engine(block_size, render, nullptr, ctx);
+}
+
+ddsp_stream_engine *ddsp_stream_create_audio(int block_size,
+                                             ddsp_render_audio_fn render,
+                                             void *ctx) {
+  return create_engine(block_size, nullptr, render, ctx);
 }
 
 void ddsp_stream_destroy(ddsp_stream_engine *engine) {
@@ -88,13 +111,17 @@ void ddsp_stream_destroy(ddsp_stream_engine *engine) {
   delete e;
 }
 
-int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
-                        const float *loudness, float *out, int n) {
+int ddsp_stream_process_audio(ddsp_stream_engine *engine, const float *pitch,
+                              const float *loudness, const float *audio,
+                              float *out, int n) {
   auto *e = reinterpret_cast<Engine *>(engine);
   if (!e || n <= 0 || e->block_size % n != 0) return -1;
 
   std::memcpy(e->pitch_buf.data() + e->head, pitch, n * sizeof(float));
   std::memcpy(e->loudness_buf.data() + e->head, loudness, n * sizeof(float));
+  if (audio) {
+    std::memcpy(e->audio_buf.data() + e->head, audio, n * sizeof(float));
+  }
   std::memcpy(out, e->out_buf.data() + e->head, n * sizeof(float));
   e->head += n;
 
@@ -116,6 +143,12 @@ int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
     e->head = e->head % (2 * e->block_size);
   }
   return 0;
+}
+
+int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
+                        const float *loudness, float *out, int n) {
+  /* Plain tick: the audio ring keeps its zeros (silent audio channel). */
+  return ddsp_stream_process_audio(engine, pitch, loudness, nullptr, out, n);
 }
 
 int ddsp_stream_latency(const ddsp_stream_engine *engine) {

@@ -36,12 +36,29 @@ extern "C" {
 typedef void (*ddsp_render_fn)(const float *pitch, const float *loudness,
                                float *out, int n, void *ctx);
 
+/* Renders one block with an input-audio channel (mfcc-autoencoder bundles:
+ * DAW-side timbre transfer feeds the signal to re-synthesize).  Runs on the
+ * worker thread. */
+typedef void (*ddsp_render_audio_fn)(const float *pitch,
+                                     const float *loudness,
+                                     const float *audio, float *out, int n,
+                                     void *ctx);
+
 typedef struct ddsp_stream_engine ddsp_stream_engine;
 
 /* block_size: samples per model block (reference B_SIZE=1024,
  * ddsp_tilde.cpp:7). */
 ddsp_stream_engine *ddsp_stream_create(int block_size, ddsp_render_fn render,
                                        void *ctx);
+
+/* Engine variant whose renderer also receives the double-buffered input
+ * audio channel.  Exceeds the reference external (pitch/loudness inlets
+ * only, ddsp_tilde.cpp:36-46): it carries three input rings instead of
+ * two.  Feed it with ddsp_stream_process_audio; plain
+ * ddsp_stream_process works too and renders with a silent audio channel. */
+ddsp_stream_engine *ddsp_stream_create_audio(int block_size,
+                                             ddsp_render_audio_fn render,
+                                             void *ctx);
 
 /* Joins the worker and frees the engine. */
 void ddsp_stream_destroy(ddsp_stream_engine *engine);
@@ -51,6 +68,13 @@ void ddsp_stream_destroy(ddsp_stream_engine *engine);
  * Returns 0 on success, -1 on bad n. */
 int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
                         const float *loudness, float *out, int n);
+
+/* Audio-thread tick with an input-audio channel (engines from
+ * ddsp_stream_create_audio; on a plain engine the audio is ignored).
+ * Same contract as ddsp_stream_process otherwise. */
+int ddsp_stream_process_audio(ddsp_stream_engine *engine, const float *pitch,
+                              const float *loudness, const float *audio,
+                              float *out, int n);
 
 /* Pipeline latency in samples (2 * block_size). */
 int ddsp_stream_latency(const ddsp_stream_engine *engine);

@@ -151,16 +151,19 @@ int main(int argc, char **argv) {
     loadm(x, gensym(bundle));
   }
 
-  /* 4. wire DSP: 64-sample ticks (Pd's default vector size) */
+  /* 4. wire DSP: 64-sample ticks (Pd's default vector size); inlets are
+   * pitch, loudness, audio-in (the third inlet feeds mfcc-autoencoder
+   * bundles; decoder bundles ignore it) then the outlet. */
   const int n = 64;
-  std::vector<t_sample> pitch(n), loud(n), out(n);
-  t_signal sig_pitch{}, sig_loud{}, sig_out{};
-  sig_pitch.s_n = sig_loud.s_n = sig_out.s_n = n;
+  std::vector<t_sample> pitch(n), loud(n), audio_in(n), out(n);
+  t_signal sig_pitch{}, sig_loud{}, sig_audio{}, sig_out{};
+  sig_pitch.s_n = sig_loud.s_n = sig_audio.s_n = sig_out.s_n = n;
   sig_pitch.s_vec = pitch.data();
   sig_loud.s_vec = loud.data();
+  sig_audio.s_vec = audio_in.data();
   sig_out.s_vec = out.data();
-  sig_pitch.s_sr = sig_loud.s_sr = sig_out.s_sr = 48000;
-  t_signal *sp[3] = {&sig_pitch, &sig_loud, &sig_out};
+  sig_pitch.s_sr = sig_loud.s_sr = sig_audio.s_sr = sig_out.s_sr = 48000;
+  t_signal *sp[4] = {&sig_pitch, &sig_loud, &sig_audio, &sig_out};
   auto dspm = (void (*)(void *, t_signal **))g_registered_class->methods["dsp"];
   dspm(x, sp);
   assert(g_perform && "dsp_add not called");
@@ -169,13 +172,19 @@ int main(int argc, char **argv) {
   g_perform_args[1] = (t_int)x; /* as recorded, but be explicit */
   double energy = 0.0;
   int ticks = bundle ? 512 : 16;
+  long sample_clock = 0;
   for (int t = 0; t < ticks; t++) {
     for (int i = 0; i < n; i++) {
       pitch[i] = 220.0f;
       loud[i] = 0.0f;
+      /* 220 Hz sine on the audio inlet: autoencoder bundles re-synthesize
+       * it, decoder bundles ignore it. */
+      audio_in[i] =
+          0.5f * sinf(2.0f * 3.14159265f * 220.0f *
+                      (float)(sample_clock++) / 48000.0f);
     }
     t_int *ret = g_perform(g_perform_args.data());
-    assert(ret == g_perform_args.data() + 6 && "perform must return w+6");
+    assert(ret == g_perform_args.data() + 7 && "perform must return w+7");
     for (int i = 0; i < n; i++) {
       assert(std::isfinite(out[i]) && "non-finite output sample");
       energy += (double)out[i] * out[i];

@@ -98,6 +98,52 @@ int test_destroy_with_inflight_render() {
   return 0;
 }
 
+void echo_audio_render(const float *pitch, const float *loudness,
+                       const float *audio, float *out, int n, void *) {
+  // out := pitch + loudness + audio — proves the third ring reaches the
+  // renderer with the same double-buffer alignment as the control rings
+  for (int i = 0; i < n; ++i) out[i] = pitch[i] + loudness[i] + audio[i];
+}
+
+int test_audio_channel_pipeline() {
+  const int block = 64, tick = 16, n_ticks = 64;
+  ddsp_stream_engine *e =
+      ddsp_stream_create_audio(block, echo_audio_render, nullptr);
+  CHECK(e != nullptr);
+
+  std::vector<float> in(n_ticks * tick), aud(n_ticks * tick),
+      out(n_ticks * tick, -1.0f);
+  for (size_t i = 0; i < in.size(); ++i) {
+    in[i] = (float)i;
+    aud[i] = 1000.0f + (float)i;  // distinct series per ring
+  }
+  std::vector<float> loud(tick, 1.0f);
+
+  for (int t = 0; t < n_ticks; ++t) {
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+    CHECK(ddsp_stream_process_audio(e, in.data() + t * tick, loud.data(),
+                                    aud.data() + t * tick,
+                                    out.data() + t * tick, tick) == 0);
+  }
+  for (int i = 0; i < 2 * block; ++i) CHECK(out[i] == 0.0f);
+  for (size_t i = 2 * block; i < out.size(); ++i) {
+    CHECK(out[i] == in[i - 2 * block] + aud[i - 2 * block] + 1.0f);
+  }
+  ddsp_stream_destroy(e);
+
+  // plain process on an audio engine: silent audio ring, still works
+  e = ddsp_stream_create_audio(block, echo_audio_render, nullptr);
+  std::vector<float> buf(block, 2.0f), out2(block, -1.0f);
+  for (int t = 0; t < 4; ++t) {
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+    CHECK(ddsp_stream_process(e, buf.data(), buf.data(), out2.data(),
+                              block) == 0);
+  }
+  CHECK(out2[0] == 4.0f);  // pitch 2 + loudness 2 + audio 0
+  ddsp_stream_destroy(e);
+  return 0;
+}
+
 }  // namespace
 
 int main() {
@@ -105,6 +151,7 @@ int main() {
   if (test_bad_tick_rejected()) return 1;
   if (test_slow_renderer_underrun_counted()) return 1;
   if (test_destroy_with_inflight_render()) return 1;
-  std::printf("stream_test: PASS (4 tests)\n");
+  if (test_audio_channel_pipeline()) return 1;
+  std::printf("stream_test: PASS (5 tests)\n");
   return 0;
 }

@@ -69,3 +69,21 @@ def test_external_renders_pretrained_bundle():
     assert r.returncode == 0, r.stdout + r.stderr
     assert "pd_mock_test ok (bundle" in r.stdout
     assert "loaded" in r.stdout
+
+
+@pytest.mark.slow
+def test_external_renders_autoencoder_bundle():
+    """DAW-side timbre transfer: the mfcc-autoencoder bundle renders
+    through the dlopen'd external's THIRD signal inlet (input audio → MFCC
+    encoder → z → resynthesis).  The reference's external supports only
+    decoder models (reference realtime/ddsp_tilde/ddsp_tilde.cpp:36-46);
+    its autoencoder has no realtime path at all."""
+    bundle = os.path.join(
+        os.path.dirname(__file__), "..", "pretrained", "ddsp_violin_ae_bundle"
+    )
+    if not os.path.isdir(bundle):
+        pytest.skip("pretrained autoencoder bundle not present")
+    r = _run(bundle)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "pd_mock_test ok (bundle" in r.stdout
+    assert "autoencoder: audio inlet 3 active" in r.stdout
