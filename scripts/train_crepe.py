@@ -32,8 +32,14 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def synth_batch(rng, batch, key_f0=None):
+def synth_batch(rng, batch, robust=False):
     """Random harmonic frames with exact f0 labels.
+
+    robust=True adds the degradation families the deployment corpus
+    measures (ddsp_pytorch_tpu/data/fixtures.py DEGRADATIONS; scored by
+    scripts/pitch_accuracy.py --degraded): SNR down to -2 dB, pink noise,
+    sparse-reflection room smear, and tanh soft clipping — the
+    noise-augmented training recipe real CREPE owes its robustness to.
 
     Returns (frames (B, 1024) f32 @16 kHz, f0 (B,) Hz).
     """
@@ -43,7 +49,8 @@ def synth_batch(rng, batch, key_f0=None):
     from ddsp_pytorch_tpu.models.crepe import FRAME_LENGTH, MODEL_SRATE
 
     (k_f0, k_amp, k_phase, k_noise, k_snr, k_gain, k_vib, k_vibp,
-     k_form, k_fg, k_fw, k_coh) = jax.random.split(rng, 12)
+     k_form, k_fg, k_fw, k_coh, k_color, k_rev, k_revg, k_revm, k_clip,
+     k_clipd) = jax.random.split(rng, 18)
     # log-uniform f0 across the tracker's useful range
     log_f0 = jax.random.uniform(
         k_f0, (batch,), minval=math.log(40.0), maxval=math.log(1800.0)
@@ -93,12 +100,59 @@ def synth_batch(rng, batch, key_f0=None):
         * jnp.sin(phase[:, :, None] * k[None, :, :] + phases[:, None, :]),
         axis=-1,
     )
-    snr_db = jax.random.uniform(k_snr, (batch, 1), minval=5.0, maxval=40.0)
-    noise = jax.random.normal(k_noise, sig.shape) * jnp.sqrt(
-        jnp.mean(jnp.square(sig), axis=-1, keepdims=True)
-    ) * 10.0 ** (-snr_db / 20.0)
+    if robust:
+        # room smear on half the batch: circular conv with a sparse IR
+        # (unit direct tap + 4 random reflections within ~31 ms)
+        n_taps = 4
+        delays = jax.random.randint(k_rev, (batch, n_taps), 16, 500)
+        signs = jax.random.rademacher(
+            k_revm, (batch, n_taps), dtype=jnp.float32
+        )
+        gains = signs * jax.random.uniform(
+            k_revg, (batch, n_taps), minval=0.15, maxval=0.5
+        )
+        ir = jnp.zeros((batch, FRAME_LENGTH))
+        ir = ir.at[jnp.arange(batch)[:, None], delays].add(gains)
+        ir = ir.at[:, 0].set(1.0)
+        smeared = jnp.fft.irfft(
+            jnp.fft.rfft(sig, axis=-1) * jnp.fft.rfft(ir, axis=-1),
+            FRAME_LENGTH, axis=-1,
+        )
+        use_rev = jax.random.bernoulli(k_rev, 0.5, (batch, 1))
+        sig = jnp.where(use_rev, smeared, sig)
+
+        # colored noise down to below 0 dB SNR (pink on half the batch)
+        snr_db = jax.random.uniform(
+            k_snr, (batch, 1), minval=-2.0, maxval=40.0
+        )
+        white = jax.random.normal(k_noise, sig.shape)
+        spec = jnp.fft.rfft(white, axis=-1)
+        fbin = jnp.maximum(jnp.arange(spec.shape[-1], dtype=jnp.float32), 1.0)
+        pink = jnp.fft.irfft(
+            spec / jnp.sqrt(fbin)[None, :], FRAME_LENGTH, axis=-1
+        )
+        pink = pink / (jnp.std(pink, axis=-1, keepdims=True) + 1e-9)
+        use_pink = jax.random.bernoulli(k_color, 0.5, (batch, 1))
+        unit_noise = jnp.where(use_pink, pink, white)
+        noise = unit_noise * jnp.sqrt(
+            jnp.mean(jnp.square(sig), axis=-1, keepdims=True)
+        ) * 10.0 ** (-snr_db / 20.0)
+        out = sig + noise
+
+        # tanh soft clip (mic-chain saturation) on ~30 % of the batch
+        drive = jax.random.uniform(k_clipd, (batch, 1), minval=1.5, maxval=4.0)
+        peak = jnp.max(jnp.abs(out), axis=-1, keepdims=True) + 1e-9
+        clipped = jnp.tanh(drive * out / peak) * peak / jnp.tanh(drive)
+        use_clip = jax.random.bernoulli(k_clip, 0.3, (batch, 1))
+        out = jnp.where(use_clip, clipped, out)
+    else:
+        snr_db = jax.random.uniform(k_snr, (batch, 1), minval=5.0, maxval=40.0)
+        noise = jax.random.normal(k_noise, sig.shape) * jnp.sqrt(
+            jnp.mean(jnp.square(sig), axis=-1, keepdims=True)
+        ) * 10.0 ** (-snr_db / 20.0)
+        out = sig + noise
     gain = 10.0 ** jax.random.uniform(k_gain, (batch, 1), minval=-2.0, maxval=0.0)
-    return (sig + noise) * gain, f0
+    return out * gain, f0
 
 
 def f0_to_target(f0):
@@ -119,6 +173,10 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--pos-weight", type=float, default=20.0)
+    p.add_argument("--robust", action="store_true",
+                   help="noise/reverb/clip-augmented training data "
+                        "(synth_batch robust=True) for degradation "
+                        "robustness — see pretrained/pitch_robustness.json")
     p.add_argument("--out", default="runs/crepe_tiny.msgpack")
     p.add_argument("--platform", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -150,7 +208,7 @@ def main():
     @jax.jit
     def train_step(params, batch_stats, opt_state, rng):
         k_data, k_drop, rng = jax.random.split(rng, 3)
-        frames, f0 = synth_batch(k_data, args.batch)
+        frames, f0 = synth_batch(k_data, args.batch, robust=args.robust)
         target = f0_to_target(f0)
 
         def loss_fn(p):
