@@ -180,3 +180,59 @@ class TestPallasKernel:
         gx = jax.grad(loss_xla, argnums=(0, 1))(jnp.asarray(f0), jnp.asarray(amp))
         np.testing.assert_allclose(gp[0], gx[0], rtol=5e-3, atol=5e-3)
         np.testing.assert_allclose(gp[1], gx[1], rtol=5e-3, atol=5e-3)
+
+
+def test_chebyshev_xla_matches_direct_and_f64(rng):
+    """The Chebyshev-recurrence XLA bank (the use_pallas='never' path) must
+    match the direct-sin oracle in forward AND gradients, and track the f64
+    oracle as tightly as direct f32 sin does."""
+    import math
+
+    import jax
+
+    from ddsp_pytorch_tpu.ops.oscillator import (
+        _harmonic_synth_frames_xla,
+        _harmonic_synth_frames_xla_direct,
+        phase_accumulate_frames,
+    )
+
+    b, f, s, k, sr = 2, 48, 128, 64, 16000.0
+    f0 = jnp.asarray(rng.uniform(60, 900, (b, f)).astype(np.float32))
+    amp = jnp.asarray((rng.random((b, f, k)) / k).astype(np.float32))
+    phi, _ = phase_accumulate_frames(f0, s, sr)
+
+    y_cheb = _harmonic_synth_frames_xla(f0, amp, phi, s, sr)
+    y_dir = _harmonic_synth_frames_xla_direct(f0, amp, phi, s, sr)
+
+    # f64 oracle
+    f064 = np.asarray(f0, np.float64)
+    phi64 = np.asarray(phi, np.float64)
+    base = phi64[..., None] + (2 * np.pi / sr) * f064[..., None] * np.arange(
+        1, s + 1
+    )
+    ks = np.arange(1, k + 1)
+    y64 = np.einsum(
+        "bfsk,bfk->bfs",
+        np.sin(base[..., None] * ks),
+        np.asarray(amp, np.float64),
+    ).reshape(b, -1)
+    err_cheb = np.max(np.abs(np.asarray(y_cheb) - y64))
+    err_dir = np.max(np.abs(np.asarray(y_dir) - y64))
+    assert err_cheb < max(2.0 * err_dir, 5e-5), (err_cheb, err_dir)
+
+    # gradients: custom VJP vs autodiff of the direct path
+    def loss(fn):
+        return lambda ff, aa, pp: jnp.sum(jnp.sin(fn(ff, aa, pp, s, sr) * 3.0))
+
+    g_cheb = jax.grad(loss(_harmonic_synth_frames_xla), argnums=(0, 1, 2))(
+        f0, amp, phi
+    )
+    g_dir = jax.grad(
+        loss(_harmonic_synth_frames_xla_direct), argnums=(0, 1, 2)
+    )(f0, amp, phi)
+    for gc, gd, name in zip(g_cheb, g_dir, ("df0", "damp", "dphi")):
+        scale = max(float(np.max(np.abs(np.asarray(gd)))), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gd), atol=2e-4 * scale, rtol=2e-4,
+            err_msg=name,
+        )
