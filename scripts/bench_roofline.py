@@ -120,13 +120,16 @@ def measure_vpu_rates(iters=30, n=1 << 22):
     (round-2 VERDICT weak #3: 'speed-of-light has no denominator').
 
     Two microbenchmarks under one jit each, scan-chained so dispatch is
-    excluded and each element does UNROLL dependent ops per HBM touch
-    (compute-bound by construction — at 64 FMA per 8 B the HBM floor is
-    ~30x below the VPU):
+    excluded and each element does UNROLL ops per HBM touch (compute-bound
+    by construction — at 64 FMA per 8 B the HBM floor is ~30x below the
+    VPU).  Each uses ILP independent chains interleaved per element so the
+    measurement exposes pipelined THROUGHPUT, not instruction latency (a
+    single dependent chain under-reads the VPU several-fold — the kernel
+    itself gets its ILP from independent sample blocks):
 
-      * fma: y = y*c1 + c2 chained 64 deep (XLA preserves float semantics,
-        so the affine chain cannot legally be reassociated/collapsed);
-      * sin: y = sin(y) chained 8 deep (dependent transcendentals).
+      * fma: ILP=8 parallel y = y*c + d chains, 8 deep each (XLA preserves
+        float semantics, so affine chains cannot be reassociated away);
+      * sin: ILP=8 parallel sin chains, 2 deep each.
 
     Returns FMA-elements/s and sin-elements/s — the measured VPU ceiling
     for exactly the ops the oscillator kernel issues.
@@ -148,14 +151,21 @@ def measure_vpu_rates(iters=30, n=1 << 22):
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    FMA_UNROLL = 64
+    ILP = 8
+    FMA_DEPTH = 8
+    n_fma_ops = ILP * FMA_DEPTH + ILP  # chains + final combine
 
     def fma_body(c, _):
-        y = c
-        for i in range(FMA_UNROLL):
-            # alternate constants: defeats any constant-chain folding
-            y = y * (1.0000001 if i % 2 else 0.9999999) + 1e-9
-        return y, None
+        ys = [c * (1.0 + 1e-7 * (i + 1)) for i in range(ILP)]
+        for d in range(FMA_DEPTH - 1):
+            ys = [
+                y * (1.0000001 if (d + i) % 2 else 0.9999999) + 1e-9
+                for i, y in enumerate(ys)
+            ]
+        out = ys[0]
+        for y in ys[1:]:
+            out = out * 0.5 + y * 0.0625  # ordered combine (no reassoc)
+        return out, None
 
     @jax.jit
     def fma_loop():
@@ -163,15 +173,19 @@ def measure_vpu_rates(iters=30, n=1 << 22):
         return c
 
     t_fma = timed(fma_loop)
-    fma_per_s = n * FMA_UNROLL / t_fma
+    fma_per_s = n * n_fma_ops / t_fma
 
-    SIN_UNROLL = 8
+    SIN_DEPTH = 2
+    n_sin_ops = ILP * SIN_DEPTH
 
     def sin_body(c, _):
-        y = c
-        for _ in range(SIN_UNROLL):
-            y = jnp.sin(y)
-        return y, None
+        ys = [jnp.sin(c + 0.1 * i) for i in range(ILP)]
+        for _ in range(SIN_DEPTH - 1):
+            ys = [jnp.sin(y) for y in ys]
+        out = ys[0]
+        for y in ys[1:]:
+            out = out * 0.5 + y * 0.0625
+        return out, None
 
     @jax.jit
     def sin_loop():
@@ -179,15 +193,112 @@ def measure_vpu_rates(iters=30, n=1 << 22):
         return c
 
     t_sin = timed(sin_loop)
-    sin_per_s = n * SIN_UNROLL / t_sin
+    sin_per_s = n * n_sin_ops / t_sin
 
     return {
         "elements": n,
-        "fma_unroll": FMA_UNROLL,
-        "sin_unroll": SIN_UNROLL,
+        "ilp": ILP,
+        "fma_ops_per_elem": n_fma_ops,
+        "sin_ops_per_elem": n_sin_ops,
         "fma_elems_per_s": fma_per_s,
         "fma_tflops": 2.0 * fma_per_s / 1e12,
         "sin_elems_per_s": sin_per_s,
+    }
+
+
+def measure_vpu_rates_pallas(iters=20):
+    """VPU issue-rate ceiling via VMEM-resident Pallas microkernels.
+
+    The XLA-elementwise variant above under-reads the VPU (partial fusion
+    round-trips intermediates through HBM); these kernels keep a 512 KB
+    tile in VMEM and issue DEPTH×ILP-deep chains of exactly the kernel's
+    op kinds (FMA / sin) per element, so the measured rate is the VPU's
+    pipelined throughput for that op — the honest speed-of-light
+    denominator for the oscillator kernel's instruction mix.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    ROWS, COLS, GRID = 32, 512, 256
+    FMA_DEPTH, ILP, SIN_DEPTH = 256, 8, 4
+
+    def fma_kernel(x_ref, o_ref):
+        # structurally identical to the oscillator kernel's inner loop
+        # (pallas_kernels/oscillator.py _fwd_kernel): same 32x512 tile, a
+        # two-term recurrence chain + an accumulate chain, all-vreg FMA
+        # operands, unrolled — so the measured rate IS the ceiling for that
+        # loop shape, not an optimistic abstraction.
+        s = x_ref[...]
+        c = 1.0 + s * 1e-9
+        p = s * 0.9
+        acc = s * 0.5
+        for _ in range(FMA_DEPTH):
+            s, p = c * s - p, s
+            acc = acc + c * p
+        o_ref[...] = acc
+
+    def sin_kernel(x_ref, o_ref):
+        y = x_ref[...]
+        ys = [jnp.sin(y + 0.1 * (i + 1)) for i in range(ILP)]
+        for _ in range(SIN_DEPTH - 1):
+            ys = [jnp.sin(yy) for yy in ys]
+        out = ys[0]
+        for yy in ys[1:]:
+            out = out * 0.5 + yy * 0.0625
+        o_ref[...] = out
+
+    n = GRID * ROWS * COLS
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(0.1, 1.0, (GRID * ROWS, COLS))
+        .astype(np.float32)
+    )
+
+    def make_loop(kernel):
+        call = pl.pallas_call(
+            kernel,
+            grid=(GRID,),
+            in_specs=[pl.BlockSpec((ROWS, COLS), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(x0.shape, x0.dtype),
+        )
+
+        @jax.jit
+        def loop():
+            c, _ = jax.lax.scan(
+                lambda c, _: (call(c), None), x0, None, length=iters
+            )
+            return c
+
+        return loop
+
+    def timed(loop):
+        jax.block_until_ready(loop())
+        best = math.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop())
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t_fma = timed(make_loop(fma_kernel))
+    n_fma = 2 * FMA_DEPTH + 3  # recurrence + accumulate FMAs per element
+    fma_per_s = n * n_fma / t_fma
+
+    t_sin = timed(make_loop(sin_kernel))
+    n_sin = ILP * SIN_DEPTH
+    sin_per_s = n * n_sin / t_sin
+
+    return {
+        "elements": n,
+        "ilp": ILP,
+        "fma_ops_per_elem": n_fma,
+        "sin_ops_per_elem": n_sin,
+        "fma_elems_per_s": fma_per_s,
+        "fma_tflops": 2.0 * fma_per_s / 1e12,
+        "sin_elems_per_s": sin_per_s,
+        "method": "pallas VMEM-resident chains",
     }
 
 
@@ -248,9 +359,12 @@ def main():
              sample_rate=48000),   # serving slab
     ]
     print("measuring VPU issue rates (FMA chain + sin chain) ...")
-    rates = measure_vpu_rates()
+    backend = jax.default_backend()
+    rates = (measure_vpu_rates_pallas() if backend == "tpu"
+             else measure_vpu_rates())
     print(
-        f"VPU microbench: FMA {rates['fma_tflops']:.2f} TFLOP/s "
+        f"VPU microbench ({rates.get('method', 'xla elementwise')}): "
+        f"FMA {rates['fma_tflops']:.2f} TFLOP/s "
         f"({rates['fma_elems_per_s']/1e9:.2f} G FMA-elem/s), "
         f"sin {rates['sin_elems_per_s']/1e9:.2f} G elem/s"
     )
