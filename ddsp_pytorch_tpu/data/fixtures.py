@@ -296,8 +296,11 @@ def mic_chain(sig: np.ndarray, sr: int, *, hp_hz: float = 80.0,
               presence_hz: float = 4000.0, presence_db: float = 6.0,
               drive: float = 3.0) -> np.ndarray:
     """Small-diaphragm mic + preamp coloration: 2nd-order Butterworth
-    high-pass (proximity/rumble filter), presence-peak EQ, and tanh soft
-    clipping with unity small-signal gain."""
+    high-pass (proximity/rumble filter), presence-peak EQ, and PEAK-
+    PRESERVING tanh soft clipping (the signal's peak maps to itself; small
+    signals gain drive/tanh(drive) ≈ 3x at the default drive — compression
+    toward the peak, like a driven preamp).  Not level-neutral: compose it
+    through make_degrader, which renormalizes to 0.7 peak."""
     from scipy.signal import butter, lfilter
 
     b, a = butter(2, hp_hz / (sr / 2), btype="highpass")

@@ -89,10 +89,6 @@ class StreamEngine:
         self._lib.ddsp_stream_create.argtypes = [
             ctypes.c_int, _RENDER_CB, ctypes.c_void_p,
         ]
-        self._lib.ddsp_stream_create_audio.restype = ctypes.c_void_p
-        self._lib.ddsp_stream_create_audio.argtypes = [
-            ctypes.c_int, _RENDER_AUDIO_CB, ctypes.c_void_p,
-        ]
         self._lib.ddsp_stream_process.restype = ctypes.c_int
         self._lib.ddsp_stream_process.argtypes = [
             ctypes.c_void_p,
@@ -101,15 +97,30 @@ class StreamEngine:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
         ]
-        self._lib.ddsp_stream_process_audio.restype = ctypes.c_int
-        self._lib.ddsp_stream_process_audio.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
-        ]
+        # audio-channel symbols: bind lazily so a pre-existing cached .so
+        # built before the audio ring landed still serves with_audio=False
+        # engines; with_audio=True against such a library raises a clear
+        # rebuild hint instead of an AttributeError in __init__.
+        self._has_audio_api = hasattr(self._lib, "ddsp_stream_create_audio")
+        if self._has_audio_api:
+            self._lib.ddsp_stream_create_audio.restype = ctypes.c_void_p
+            self._lib.ddsp_stream_create_audio.argtypes = [
+                ctypes.c_int, _RENDER_AUDIO_CB, ctypes.c_void_p,
+            ]
+            self._lib.ddsp_stream_process_audio.restype = ctypes.c_int
+            self._lib.ddsp_stream_process_audio.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+        elif with_audio:
+            raise RuntimeError(
+                f"{path} predates the input-audio ring; rebuild the native "
+                "runtime (ddsp_pytorch_tpu.runtime.build_runtime())"
+            )
         self._lib.ddsp_stream_latency.restype = ctypes.c_int
         self._lib.ddsp_stream_latency.argtypes = [ctypes.c_void_p]
         self._lib.ddsp_stream_blocks_rendered.restype = ctypes.c_int64
@@ -173,6 +184,11 @@ class StreamEngine:
         loudness = np.ascontiguousarray(loudness, np.float32)
         out = np.zeros_like(pitch)
         fp = ctypes.POINTER(ctypes.c_float)
+        if audio is not None and not self._has_audio_api:
+            raise RuntimeError(
+                "this libddsp_stream.so predates the input-audio ring; "
+                "rebuild the native runtime"
+            )
         if audio is not None:
             audio = np.ascontiguousarray(audio, np.float32)
             rc = self._lib.ddsp_stream_process_audio(

@@ -121,6 +121,11 @@ int ddsp_stream_process_audio(ddsp_stream_engine *engine, const float *pitch,
   std::memcpy(e->loudness_buf.data() + e->head, loudness, n * sizeof(float));
   if (audio) {
     std::memcpy(e->audio_buf.data() + e->head, audio, n * sizeof(float));
+  } else {
+    // audio-less tick = silent audio channel; never leave the previous
+    // cycle's samples in the ring (a caller alternating process() and
+    // process_audio() would otherwise replay stale input)
+    std::memset(e->audio_buf.data() + e->head, 0, n * sizeof(float));
   }
   std::memcpy(out, e->out_buf.data() + e->head, n * sizeof(float));
   e->head += n;
@@ -147,7 +152,7 @@ int ddsp_stream_process_audio(ddsp_stream_engine *engine, const float *pitch,
 
 int ddsp_stream_process(ddsp_stream_engine *engine, const float *pitch,
                         const float *loudness, float *out, int n) {
-  /* Plain tick: the audio ring keeps its zeros (silent audio channel). */
+  /* Plain tick: the audio ring region is zeroed (silent audio channel). */
   return ddsp_stream_process_audio(engine, pitch, loudness, nullptr, out, n);
 }
 

@@ -140,6 +140,20 @@ int test_audio_channel_pipeline() {
                               block) == 0);
   }
   CHECK(out2[0] == 4.0f);  // pitch 2 + loudness 2 + audio 0
+  // audio-less ticks after audio ticks must NOT replay the stale ring:
+  // two audio blocks, then plain ticks — the renderer must see zeros
+  std::vector<float> aud2(block, 100.0f);
+  for (int t = 0; t < 2; ++t) {
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+    CHECK(ddsp_stream_process_audio(e, buf.data(), buf.data(), aud2.data(),
+                                    out2.data(), block) == 0);
+  }
+  for (int t = 0; t < 4; ++t) {
+    std::this_thread::sleep_for(std::chrono::microseconds(200));
+    CHECK(ddsp_stream_process(e, buf.data(), buf.data(), out2.data(),
+                              block) == 0);
+  }
+  CHECK(out2[0] == 4.0f);  // NOT 104: stale audio was cleared
   ddsp_stream_destroy(e);
   return 0;
 }

@@ -153,7 +153,9 @@ def measure_vpu_rates(iters=30, n=1 << 22):
 
     ILP = 8
     FMA_DEPTH = 8
-    n_fma_ops = ILP * FMA_DEPTH + ILP  # chains + final combine
+    # count every op the body issues: ILP init muls + (DEPTH-1)*ILP chain
+    # FMAs + (ILP-1) combine steps of 2 ops each
+    n_fma_ops = ILP + (FMA_DEPTH - 1) * ILP + (ILP - 1) * 2
 
     def fma_body(c, _):
         ys = [c * (1.0 + 1e-7 * (i + 1)) for i in range(ILP)]

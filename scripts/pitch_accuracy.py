@@ -94,6 +94,11 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
             "per_file": per_file}
 
 
+def _fmt(x, spec: str = ".1f") -> str:
+    """Format a summarize_cents value; None (empty frame set) → 'n/a'."""
+    return "n/a" if x is None else format(x, spec)
+
+
 def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
                       crepe_capacity: str, n_validation: int = 9) -> dict:
     """RPA degradation curves (round-2 VERDICT next-round #1): score YIN +
@@ -127,7 +132,7 @@ def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
         for name, s in rep["summary"].items():
             o = s["overall"]
             print(f"  [{bucket}/{tag}] {name}: RPA@50c={o['rpa']:.3f} "
-                  f"mean|cents|={o['mean_abs_cents']:.1f} "
+                  f"mean|cents|={_fmt(o['mean_abs_cents'])} "
                   f"n={o['n_frames']}")
 
     for tag, kwargs in DEGRADATIONS.items():
@@ -146,7 +151,10 @@ def main():
     p.add_argument("--block-size", type=int, default=256)
     p.add_argument("--crepe", default="pretrained/crepe_tiny.msgpack")
     p.add_argument("--crepe-capacity", default="tiny")
-    p.add_argument("--out", default="pretrained/pitch_accuracy.json")
+    p.add_argument("--out", default=None,
+                   help="output JSON (default: pretrained/pitch_accuracy"
+                        ".json, or pretrained/pitch_robustness.json with "
+                        "--degraded)")
     p.add_argument("--degraded", action="store_true",
                    help="produce RPA degradation curves over all "
                         "fixtures.DEGRADATIONS conditions + pitch extremes")
@@ -159,8 +167,7 @@ def main():
 
     crepe = args.crepe if args.crepe and os.path.exists(args.crepe) else None
     if args.degraded:
-        out_path = (args.out if args.out != "pretrained/pitch_accuracy.json"
-                    else "pretrained/pitch_robustness.json")
+        out_path = args.out or "pretrained/pitch_robustness.json"
         report = robustness_report(args.sample_rate, args.block_size, crepe,
                                    args.crepe_capacity, args.n_validation)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -169,6 +176,7 @@ def main():
         print(f"wrote {out_path}")
         return
 
+    args.out = args.out or "pretrained/pitch_accuracy.json"
     corpus = args.corpus
     if corpus is None:
         from ddsp_pytorch_tpu.data.fixtures import make_oof_corpus
@@ -186,8 +194,8 @@ def main():
     for name, s in report["summary"].items():
         o = s["overall"]
         print(f"{name}: RPA@50c={o['rpa']:.3f} "
-              f"mean|cents|={o['mean_abs_cents']:.1f} "
-              f"median={o['median_abs_cents']:.1f} n={o['n_frames']}")
+              f"mean|cents|={_fmt(o['mean_abs_cents'])} "
+              f"median={_fmt(o['median_abs_cents'])} n={o['n_frames']}")
     print(f"wrote {args.out}")
 
 

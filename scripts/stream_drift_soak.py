@@ -65,17 +65,15 @@ def _circular_err(a, b):
     return min(d, TWO_PI - d)
 
 
-def phase_drift_soak(total_samples: int, *, frames_per_call: int = 16,
-                     block: int = 512, sr: int = 48000, hidden: int = 64,
-                     n_checkpoints: int = 16, seed: int = 0) -> dict:
-    """Stream `total_samples` through StreamingSynth.step; at checkpoints,
-    compare the f32 phase carry against the f64 oracle."""
+def _make_model_and_params(*, block: int, sr: int, hidden: int,
+                           frames: int, seed: int):
+    """The one soak model both harnesses stream (tiny decoder — drift is a
+    property of the state threading, not the weights)."""
     import jax
     import numpy as np
 
     from ddsp_pytorch_tpu.config import Config
     from ddsp_pytorch_tpu.models import load_model
-    from ddsp_pytorch_tpu.streaming import StreamingSynth
 
     cfg = Config.from_dict(
         {
@@ -93,7 +91,6 @@ def phase_drift_soak(total_samples: int, *, frames_per_call: int = 16,
         }
     )
     model = load_model(cfg)
-    frames = frames_per_call
     sample = {
         "sig": np.zeros((1, frames * block), np.float32),
         "pitch": np.full((1, frames, 1), 220.0, np.float32),
@@ -103,6 +100,22 @@ def phase_drift_soak(total_samples: int, *, frames_per_call: int = 16,
         {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(1)},
         sample,
     )["params"]
+    return model, params
+
+
+def phase_drift_soak(total_samples: int, *, frames_per_call: int = 16,
+                     block: int = 512, sr: int = 48000, hidden: int = 64,
+                     n_checkpoints: int = 16, seed: int = 0) -> dict:
+    """Stream `total_samples` through StreamingSynth.step; at checkpoints,
+    compare the f32 phase carry against the f64 oracle."""
+    import numpy as np
+
+    from ddsp_pytorch_tpu.streaming import StreamingSynth
+
+    frames = frames_per_call
+    model, params = _make_model_and_params(
+        block=block, sr=sr, hidden=hidden, frames=frames, seed=seed
+    )
     synth = StreamingSynth(model, params, batch=1, seed=seed)
 
     n_calls = total_samples // (frames * block)
@@ -154,40 +167,15 @@ def pool_churn_soak(total_samples: int, *, frames_per_call: int = 16,
     """A long-lived VoicePool slot vs an independent batch-1 stream while
     neighbor slots churn (acquire → stream garbage → release) around it.
     noise_deterministic so the comparison is numeric, not stochastic."""
-    import jax
     import numpy as np
 
-    from ddsp_pytorch_tpu.config import Config
-    from ddsp_pytorch_tpu.models import load_model
     from ddsp_pytorch_tpu.streaming import StreamingSynth
     from ddsp_pytorch_tpu.streaming.pool import VoicePool
 
-    cfg = Config.from_dict(
-        {
-            "preprocess": {"sample_rate": sr, "signal_length": 8 * block,
-                           "block_size": block},
-            "model": {
-                "name": "single-inst-decoder",
-                "kwargs": {
-                    "hidden_size": hidden, "n_harmonic": 8, "n_bands": 9,
-                    "sample_rate": sr, "block_size": block,
-                    "has_reverb": False, "use_pallas": "never",
-                },
-            },
-            "train": {"scales": [512], "batch": 1},
-        }
-    )
-    model = load_model(cfg)
     frames = frames_per_call
-    sample = {
-        "sig": np.zeros((1, frames * block), np.float32),
-        "pitch": np.full((1, frames, 1), 220.0, np.float32),
-        "loudness": np.zeros((1, frames, 1), np.float32),
-    }
-    params = model.init(
-        {"params": jax.random.PRNGKey(seed), "noise": jax.random.PRNGKey(1)},
-        sample,
-    )["params"]
+    model, params = _make_model_and_params(
+        block=block, sr=sr, hidden=hidden, frames=frames, seed=seed
+    )
 
     pool = VoicePool(StreamingSynth(model, params, batch=voices, seed=seed,
                                     noise_deterministic=True))

@@ -49,8 +49,8 @@ def synth_batch(rng, batch, robust=False):
     from ddsp_pytorch_tpu.models.crepe import FRAME_LENGTH, MODEL_SRATE
 
     (k_f0, k_amp, k_phase, k_noise, k_snr, k_gain, k_vib, k_vibp,
-     k_form, k_fg, k_fw, k_coh, k_color, k_rev, k_revg, k_revm, k_clip,
-     k_clipd) = jax.random.split(rng, 18)
+     k_form, k_fg, k_fw, k_coh, k_color, k_rev, k_revg, k_revm, k_revon,
+     k_clip, k_clipd) = jax.random.split(rng, 19)
     # log-uniform f0 across the tracker's useful range
     log_f0 = jax.random.uniform(
         k_f0, (batch,), minval=math.log(40.0), maxval=math.log(1800.0)
@@ -118,7 +118,7 @@ def synth_batch(rng, batch, robust=False):
             jnp.fft.rfft(sig, axis=-1) * jnp.fft.rfft(ir, axis=-1),
             FRAME_LENGTH, axis=-1,
         )
-        use_rev = jax.random.bernoulli(k_rev, 0.5, (batch, 1))
+        use_rev = jax.random.bernoulli(k_revon, 0.5, (batch, 1))
         sig = jnp.where(use_rev, smeared, sig)
 
         # colored noise down to below 0 dB SNR (pink on half the batch)
