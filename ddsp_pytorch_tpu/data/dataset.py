@@ -161,9 +161,14 @@ class DeviceDataLoader:
             return self._n // self.batch_size
         return (self._n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
-        import jax.numpy as jnp
-
+    def index_batches(self):
+        """Per-step index arrays (numpy) in EXACTLY __iter__'s order — the
+        zero-dispatch iteration mode: the Trainer collects indices and
+        materializes a whole (n_steps, batch, ...) super-batch with ONE
+        device gather (take_stacked) instead of one dispatch per batch.
+        Through a high-latency transport (this container's TPU tunnel has
+        multi-ms — in degraded windows ~100 ms — per-dispatch RPCs) the
+        per-batch dispatches dominate the step itself."""
         order = np.arange(self._n)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
@@ -174,8 +179,56 @@ class DeviceDataLoader:
             else self._n
         )
         for start in range(0, end, self.batch_size):
-            idx = jnp.asarray(order[start : start + self.batch_size])
-            yield self._take(self._data, idx)
+            yield order[start : start + self.batch_size]
+
+    def take(self, idx) -> dict:
+        """One batch from index array (B,) — a single jitted gather."""
+        import jax.numpy as jnp
+
+        return self._take(self._data, jnp.asarray(idx))
+
+    def take_stacked(self, idx2d) -> dict:
+        """A (n_steps, B, ...) super-batch from indices (n_steps, B) —
+        still a single jitted gather (the same _take; the extra leading
+        axis rides through the fancy-index)."""
+        import jax.numpy as jnp
+
+        return self._take(self._data, jnp.asarray(idx2d))
+
+    def loudness_stats(self) -> tuple:
+        """(mean, std) exactly equal to ops.mean_std_loudness over this
+        loader's batch sequence, in ≤2 device dispatches instead of one
+        per batch: per-batch f32 means/stds are computed vectorized on
+        device (grouped by batch length — the final partial batch is its
+        own dispatch), then the estimator's host-float running mean runs
+        over them in the original batch order, so the accumulated values
+        are bit-identical to the streaming version's."""
+        import jax
+        import jax.numpy as jnp
+
+        batches = list(self.index_batches())
+        per_batch = [None] * len(batches)
+        stats = jax.jit(
+            lambda loud, idx: (
+                jnp.mean(loud[idx], axis=(1, 2, 3)),
+                jnp.std(loud[idx], axis=(1, 2, 3), ddof=1),
+            )
+        )
+        for size in sorted({len(b) for b in batches}):
+            group = [i for i, b in enumerate(batches) if len(b) == size]
+            idx = jnp.asarray(np.stack([batches[i] for i in group]))
+            means, stds = jax.device_get(stats(self._data["loudness"], idx))
+            for j, i in enumerate(group):
+                per_batch[i] = (float(means[j]), float(stds[j]))
+        mean = std = 0.0
+        for n, (m, s) in enumerate(per_batch, start=1):
+            mean += (m - mean) / n
+            std += (s - std) / n
+        return mean, std
+
+    def __iter__(self):
+        for idx in self.index_batches():
+            yield self.take(idx)
 
 
 class Datamodule:

@@ -345,11 +345,9 @@ class Trainer:
             replicated(self.mesh),
         )
 
-    def stack_superbatch(self, batches):
-        """Stack per-step batches into the (n_steps, batch, ...) super-batch."""
-        multihost = self.mesh is not None and jax.process_count() > 1
-        stack = np.stack if multihost else jnp.stack
-        stacked = jax.tree.map(lambda *xs: stack(xs), *batches)
+    def place_superbatch(self, stacked):
+        """Apply the mesh placement to an assembled (n_steps, batch, ...)
+        super-batch."""
         if self._time_sharded:
             from ddsp_pytorch_tpu.parallel.sharding import shard_time_batch
 
@@ -359,6 +357,13 @@ class Trainer:
 
             stacked = shard_superbatch(stacked, self.mesh)
         return stacked
+
+    def stack_superbatch(self, batches):
+        """Stack per-step batches into the (n_steps, batch, ...) super-batch."""
+        multihost = self.mesh is not None and jax.process_count() > 1
+        stack = np.stack if multihost else jnp.stack
+        stacked = jax.tree.map(lambda *xs: stack(xs), *batches)
+        return self.place_superbatch(stacked)
 
     # -------------------------------------------------------------- loops
     def fit(self, datamodule, total_steps: Optional[int] = None) -> TrainState:
@@ -411,7 +416,12 @@ class Trainer:
                 stats_loader = DataLoader(
                     train_loader.dataset, cfg.train.batch, shuffle=False
                 )
-            mean_l, std_l = mean_std_loudness(stats_loader)
+            if hasattr(stats_loader, "loudness_stats"):
+                # device-resident loader: ≤2 dispatches, bit-identical to
+                # the streaming estimator (data/dataset.py loudness_stats)
+                mean_l, std_l = stats_loader.loudness_stats()
+            else:
+                mean_l, std_l = mean_std_loudness(stats_loader)
             cfg.data.mean_loudness, cfg.data.std_loudness = mean_l, std_l
 
         # Freeze the (stat-enriched) config next to the run, like the
@@ -463,15 +473,36 @@ class Trainer:
                     mean_loss += (float(loss) - mean_loss) / n_elem
             pending.clear()
 
+        # Device-resident single-host loaders iterate as INDEX arrays and
+        # materialize per dispatch: a super-batch is ONE device gather
+        # (DeviceDataLoader.take_stacked) instead of steps_per_call _take
+        # dispatches + a stack — through a high-latency tunnel the
+        # per-batch dispatches otherwise dominate the whole call (measured:
+        # ~3 s per 25-step call in a degraded window vs ~30 ms of compute).
+        device_indexed = (
+            hasattr(train_loader, "take_stacked") and jax.process_count() == 1
+        )
+
+        def materialize(b):
+            return train_loader.take(b) if device_indexed else b
+
         def run_single(b):
             nonlocal state, step
-            state, metrics = self._train_step(state, self.shard_batch(b))
+            state, metrics = self._train_step(
+                state, self.shard_batch(materialize(b))
+            )
             step += 1
             pending.append((step, metrics))
 
         def run_multi(bs):
             nonlocal state, step
-            state, metrics = self._multi_step(state, self.stack_superbatch(bs))
+            if device_indexed:
+                superbatch = self.place_superbatch(
+                    train_loader.take_stacked(np.stack(bs))
+                )
+            else:
+                superbatch = self.stack_superbatch(bs)
+            state, metrics = self._multi_step(state, superbatch)
             step += self._spc
             pending.append((step - self._spc + 1, metrics))
 
@@ -508,7 +539,11 @@ class Trainer:
                 else 0
             )
             stop = False
-            for batch_index, batch in enumerate(train_loader):
+            source = (
+                train_loader.index_batches() if device_indexed
+                else train_loader
+            )
+            for batch_index, batch in enumerate(source):
                 if batch_index < skip:
                     continue
                 prev_step = step

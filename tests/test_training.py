@@ -211,3 +211,94 @@ def test_trainer_steps_per_call_equivalence(tmp_path):
     assert steps_1 == steps_4 == list(range(1, 15))
     for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_4)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_device_indexed_loader_equivalence(tmp_path):
+    """The device-resident loader's one-gather super-batch path
+    (DeviceDataLoader.index_batches/take_stacked — a single device dispatch
+    per steps_per_call instead of one per batch) must train the EXACT same
+    function as the host-loader path: same dataset order, identical final
+    params, every step's loss logged."""
+    import json
+
+    from ddsp_pytorch_tpu.data import Datamodule
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cfg, dm_host = _tiny_setup(tmp_path, steps=14)
+    dm_dev = Datamodule(cfg, device_cache=True)
+    dm_dev.setup()
+
+    def run(name, dm, spc):
+        c = Config.from_dict(cfg.to_dict())
+        c.train.steps_per_call = spc
+        run_dir = os.path.join(tmp_path, name)
+        trainer = Trainer(c, run_dir, use_tensorboard=False)
+        try:
+            state = trainer.fit(dm)
+        finally:
+            trainer.close()
+        steps_logged = []
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["tag"] == "loss":
+                    steps_logged.append(rec["step"])
+        return jax.device_get(state.params), steps_logged
+
+    params_host, steps_host = run("host4", dm_host, 4)
+    params_dev, steps_dev = run("dev4", dm_dev, 4)
+    params_dev1, _ = run("dev1", dm_dev, 1)
+
+    assert steps_host == steps_dev == list(range(1, 15))
+    for a, b in zip(jax.tree.leaves(params_host), jax.tree.leaves(params_dev)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_host), jax.tree.leaves(params_dev1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_device_loader_vectorized_loudness_stats(tmp_path):
+    """DeviceDataLoader.loudness_stats (≤2 dispatches) must be
+    BIT-identical to the streaming ops.mean_std_loudness estimator over
+    the same batch sequence — including a partial final batch."""
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.ops import mean_std_loudness
+
+    cache = str(tmp_path / "cache")
+    make_synthetic_dataset(cache, n_items=7)  # 7 % 2 → partial last batch
+    cfg, _ = _tiny_setup(tmp_path, steps=4)
+    cfg.preprocess.out_dir = cache
+    dm = Datamodule(cfg, device_cache=True)
+    dm.setup()
+    loader = dm.train_dataloader()
+    assert mean_std_loudness(loader) == loader.loudness_stats()
+
+
+def test_device_indexed_superbatch_dispatch_count(tmp_path):
+    """The device-resident training path must cost ONE gather dispatch per
+    super-batch (plus the init sample), not one per batch — the dispatch
+    amortization that keeps high-latency transports (remote TPU tunnels)
+    from dominating the step (training/train.py run_multi)."""
+    from ddsp_pytorch_tpu.data import Datamodule
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cfg, _ = _tiny_setup(tmp_path, steps=8)
+    cfg.train.steps_per_call = 4
+    dm = Datamodule(cfg, device_cache=True)
+    dm.setup()
+    loader = dm.train_dataloader()
+    calls = {"n": 0}
+    orig = loader._take
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    loader._take = counting
+    dm.train_dataloader = lambda: loader
+    trainer = Trainer(cfg, str(tmp_path / "run_disp"), use_tensorboard=False)
+    try:
+        trainer.fit(dm)
+    finally:
+        trainer.close()
+    # 1 init-sample materialization + 2 one-gather super-batches
+    assert calls["n"] <= 4, calls["n"]
