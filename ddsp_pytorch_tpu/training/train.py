@@ -402,6 +402,21 @@ class Trainer:
 
         mean_l, std_l = cfg.data.mean_loudness, cfg.data.std_loudness
         if mean_l is None or std_l is None:
+            # A resumed run must REUSE the stats frozen at its start: the
+            # stats are baked into the model's normalization (and exports),
+            # so recomputing them mid-run — e.g. after the dataset grew —
+            # would silently change the trained function.  (Also keeps
+            # resumed/segmented runs free of the device pull on
+            # tunnel-attached chips — BASELINE.md 'degraded windows'.)
+            frozen = os.path.join(self.run_dir, "config.yaml")
+            if os.path.exists(frozen):
+                try:
+                    fcfg = Config.from_yaml(frozen)
+                    mean_l = fcfg.data.mean_loudness
+                    std_l = fcfg.data.std_loudness
+                except Exception:
+                    mean_l = std_l = None
+        if mean_l is None or std_l is None:
             from ddsp_pytorch_tpu.ops import mean_std_loudness
 
             stats_loader = train_loader
@@ -422,7 +437,7 @@ class Trainer:
                 mean_l, std_l = stats_loader.loudness_stats()
             else:
                 mean_l, std_l = mean_std_loudness(stats_loader)
-            cfg.data.mean_loudness, cfg.data.std_loudness = mean_l, std_l
+        cfg.data.mean_loudness, cfg.data.std_loudness = mean_l, std_l
 
         # Freeze the (stat-enriched) config next to the run, like the
         # reference (train.py:59-60), so export can rebuild the model.
@@ -578,7 +593,12 @@ class Trainer:
             # steps_per_call-1 not-yet-dispatched batches.
             if stop and preempted["flag"]:
                 return state
-            flush_metrics()
+            # epoch-end flush respects the flush interval: each device_get
+            # stalls the dispatch pipeline (and on tunnel-attached chips
+            # permanently degrades the process — BASELINE.md); nothing is
+            # lost, the buffer drains at the next interval or at fit end
+            if step - last_flush >= flush_every:
+                flush_metrics()
 
             if epoch % cfg.train.val_interval_epochs == 0:
                 self._run_validation(state, val_loader, step)

@@ -302,3 +302,88 @@ def test_device_indexed_superbatch_dispatch_count(tmp_path):
         trainer.close()
     # 1 init-sample materialization + 2 one-gather super-batches
     assert calls["n"] <= 4, calls["n"]
+
+
+def test_resume_reuses_frozen_loudness_stats(tmp_path):
+    """A resumed run must keep the loudness stats frozen at its start even
+    if the dataset changed on disk — the stats are part of the trained
+    function (export bakes them), not a per-process artifact."""
+    import yaml
+
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cfg, dm = _tiny_setup(tmp_path, steps=4)
+    run_dir = os.path.join(tmp_path, "run_frozen")
+    trainer = Trainer(cfg, run_dir, use_tensorboard=False)
+    try:
+        trainer.fit(dm)
+    finally:
+        trainer.close()
+    with open(os.path.join(run_dir, "config.yaml")) as f:
+        stats0 = yaml.safe_load(f)["data"]
+
+    # regenerate the dataset with different audio, clear in-memory stats,
+    # and continue the run — the frozen stats must win
+    make_synthetic_dataset(cfg.preprocess.out_dir, n_items=6, seed=99)
+    cfg2 = Config.from_dict(cfg.to_dict())
+    cfg2.data.mean_loudness = None
+    cfg2.data.std_loudness = None
+    cfg2.train.steps = 8
+    dm2 = Datamodule(cfg2)
+    dm2.setup()
+    trainer2 = Trainer(cfg2, run_dir, use_tensorboard=False)
+    try:
+        state = trainer2.fit(dm2)
+    finally:
+        trainer2.close()
+    assert int(state.step) >= 8
+    assert cfg2.data.mean_loudness == stats0["mean_loudness"]
+    assert cfg2.data.std_loudness == stats0["std_loudness"]
+
+
+def test_segmented_training_cli(tmp_path):
+    """train.py --segment-steps stitches fresh child processes into one
+    contiguous run (the tunnel-poisoning mitigation — BASELINE.md)."""
+    import json
+    import subprocess
+    import sys
+
+    from ddsp_pytorch_tpu.data import make_synthetic_dataset
+
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(cache, n_items=4)
+    cfg_path = os.path.join(tmp_path, "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+preprocess:
+  sample_rate: 16000
+  signal_length: 16384
+  block_size: 256
+  out_dir: {cache}
+model:
+  name: single-inst-decoder
+  kwargs: {{hidden_size: 32, n_harmonic: 4, n_bands: 5, sample_rate: 16000,
+            block_size: 256, has_reverb: false}}
+train:
+  scales: [512]
+  batch: 2
+  steps: 12
+  checkpoint_every_steps: 100
+""")
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py"), "--config", cfg_path,
+         "--name", "seg", "--root", str(tmp_path / "runs"),
+         "--platform", "cpu", "--no-mesh", "--segment-steps", "5"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("[segment]") == 3  # 5, 10, 12
+    steps = []
+    with open(tmp_path / "runs" / "seg" / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == "loss":
+                steps.append(rec["step"])
+    assert steps == list(range(1, 13)), steps

@@ -63,7 +63,22 @@ def main():
         help="capture a jax.profiler trace of the first ~30 steps to "
         "<run_dir>/trace (view in XProf/TensorBoard)",
     )
+    p.add_argument(
+        "--segment-steps",
+        type=int,
+        default=None,
+        help="run training as a sequence of fresh child processes of this "
+        "many steps each (exact checkpoint resume stitches them).  For "
+        "remote-tunneled chips where the first device->host pull (metrics "
+        "flush, checkpoint) permanently degrades the process's session "
+        "~130x (BASELINE.md 'degraded windows, explained'); each segment "
+        "pays the poisoning only for its own tail.  Locally-attached "
+        "chips don't need this.",
+    )
     args = p.parse_args()
+
+    if args.segment_steps is not None:
+        return _run_segmented(args)
 
     if args.platform:
         import jax
@@ -121,6 +136,42 @@ def main():
         trainer.fit(dm)
     finally:
         trainer.close()
+
+
+def _run_segmented(args) -> None:
+    """Spawn child `train.py` invocations of --segment-steps each (fresh
+    process = fresh tunnel session), up to the configured total steps."""
+    import subprocess
+    import sys
+
+    from ddsp_pytorch_tpu.config import Config
+
+    config = Config.from_yaml(args.config)
+    total = args.steps if args.steps is not None else config.train.steps
+    seg = args.segment_steps
+    base = [a for a in sys.argv[1:]]
+    # strip --segment-steps (and its value) and any --steps override; each
+    # child gets its own --steps boundary
+    cleaned = []
+    skip = 0
+    for a in base:
+        if skip:
+            skip -= 1
+            continue
+        if a in ("--segment-steps", "--steps"):
+            skip = 1
+            continue
+        if a.startswith("--segment-steps=") or a.startswith("--steps="):
+            continue
+        cleaned.append(a)
+    boundary = 0
+    while boundary < total:
+        boundary = min(boundary + seg, total)
+        cmd = [sys.executable, __file__, *cleaned, "--steps", str(boundary)]
+        print(f"[segment] -> step {boundary}/{total}", flush=True)
+        rc = subprocess.run(cmd).returncode
+        if rc != 0:
+            sys.exit(rc)
 
 
 if __name__ == "__main__":
