@@ -189,11 +189,9 @@ class DeviceDataLoader:
 
     def take_stacked(self, idx2d) -> dict:
         """A (n_steps, B, ...) super-batch from indices (n_steps, B) —
-        still a single jitted gather (the same _take; the extra leading
-        axis rides through the fancy-index)."""
-        import jax.numpy as jnp
-
-        return self._take(self._data, jnp.asarray(idx2d))
+        still a single jitted gather (the extra leading axis rides through
+        the fancy-index)."""
+        return self.take(idx2d)
 
     def loudness_stats(self) -> tuple:
         """(mean, std) exactly equal to ops.mean_std_loudness over this

@@ -604,6 +604,11 @@ class Trainer:
                 self._run_validation(state, val_loader, step)
 
             if epoch % cfg.train.log_interval_epochs == 0:
+                # a log epoch pulls device data anyway (_log_media), so
+                # drain pending metrics first — the per-epoch best-loss
+                # mean must include this epoch's steps even when
+                # metrics_flush_steps is large
+                flush_metrics()
                 if n_elem > 0 and mean_loss < best_loss:
                     best_loss = mean_loss
                     # save_best is COLLECTIVE (Orbax barrier inside): every

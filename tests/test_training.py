@@ -259,8 +259,11 @@ def test_trainer_device_indexed_loader_equivalence(tmp_path):
 def test_device_loader_vectorized_loudness_stats(tmp_path):
     """DeviceDataLoader.loudness_stats (≤2 dispatches) must be
     BIT-identical to the streaming ops.mean_std_loudness estimator over
-    the same batch sequence — including a partial final batch."""
+    the same batch sequence — including a partial final batch (the train
+    loader drops it, so build the loader directly with drop_last=False to
+    exercise the two-size grouping path)."""
     from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.data.dataset import Dataset, DeviceDataLoader
     from ddsp_pytorch_tpu.ops import mean_std_loudness
 
     cache = str(tmp_path / "cache")
@@ -271,6 +274,14 @@ def test_device_loader_vectorized_loudness_stats(tmp_path):
     dm.setup()
     loader = dm.train_dataloader()
     assert mean_std_loudness(loader) == loader.loudness_stats()
+
+    partial = DeviceDataLoader(
+        Dataset(os.path.join(cache, "train")), batch_size=4,
+        shuffle=True, drop_last=False,
+    )
+    sizes = [len(b) for b in partial.index_batches()]
+    assert sizes[-1] < 4  # the partial final batch is really exercised
+    assert mean_std_loudness(partial) == partial.loudness_stats()
 
 
 def test_device_indexed_superbatch_dispatch_count(tmp_path):

@@ -149,6 +149,8 @@ def _run_segmented(args) -> None:
     config = Config.from_yaml(args.config)
     total = args.steps if args.steps is not None else config.train.steps
     seg = args.segment_steps
+    if seg <= 0:
+        sys.exit(f"--segment-steps must be positive, got {seg}")
     base = [a for a in sys.argv[1:]]
     # strip --segment-steps (and its value) and any --steps override; each
     # child gets its own --steps boundary
