@@ -180,6 +180,67 @@ class Config:
         with open(path, "w") as f:
             yaml.safe_dump(self.to_dict(), f)
 
+    # ------------------------------------------------------- CLI overrides
+    def apply_overrides(self, overrides: List[str]) -> "Config":
+        """Override any config field from ``key.path=value`` strings.
+
+        Parity with the reference's ``effortless_config`` ergonomics
+        (reference train.py:19-28: any config field overridable from the
+        command line).  The path is dotted through the section dataclasses
+        and into plain dicts (``model.kwargs.hidden_size=256``); the value
+        is YAML-parsed (so ``1e-4``, ``true``, ``[512,256]`` and quoted
+        strings all work).  Mutates and returns self.  Unknown paths raise
+        with the list of valid keys at the failing level.
+        """
+        for item in overrides:
+            if "=" not in item:
+                raise ValueError(
+                    f"--set expects key.path=value, got {item!r}"
+                )
+            path, _, raw_val = item.partition("=")
+            value = yaml.safe_load(raw_val) if raw_val != "" else None
+            if isinstance(value, str):
+                # YAML 1.1 only floats exponents with a dot ('3.0e-4');
+                # accept the plain scientific form users actually type.
+                try:
+                    value = float(value)
+                except ValueError:
+                    pass
+            keys = path.strip().split(".")
+            target: Any = self
+            for i, key in enumerate(keys[:-1]):
+                if isinstance(target, dict):
+                    target = target.setdefault(key, {})
+                elif dataclasses.is_dataclass(target) and key in {
+                    f.name for f in dataclasses.fields(target)
+                }:
+                    target = getattr(target, key)
+                else:
+                    valid = (
+                        sorted(target)
+                        if isinstance(target, dict)
+                        else sorted(
+                            f.name for f in dataclasses.fields(target)
+                        )
+                    )
+                    raise ValueError(
+                        f"--set {path}: no key {'.'.join(keys[:i + 1])!r}; "
+                        f"valid here: {valid}"
+                    )
+            leaf = keys[-1]
+            if isinstance(target, dict):
+                target[leaf] = value
+            elif dataclasses.is_dataclass(target) and leaf in {
+                f.name for f in dataclasses.fields(target)
+            }:
+                setattr(target, leaf, value)
+            else:
+                valid = sorted(f.name for f in dataclasses.fields(target))
+                raise ValueError(
+                    f"--set {path}: no field {leaf!r}; valid here: {valid}"
+                )
+        return self
+
     # ------------------------------------------------------------- helpers
     @property
     def n_frames(self) -> int:

@@ -47,13 +47,22 @@ def export_run(
     run_dir: str,
     out_dir: str = "export",
     name: Optional[str] = None,
+    overrides: Optional[list] = None,
 ) -> str:
-    """Export a training run.  Returns the bundle directory path."""
+    """Export a training run.  Returns the bundle directory path.
+
+    `overrides`: ``key.path=value`` strings applied to the run's frozen
+    config before export (Config.apply_overrides) — e.g. to relocate
+    ``data.data_location`` for the --data copy.  Model/preprocess fields
+    that shaped the checkpointed parameters must not be changed here.
+    """
     run_dir = path.normpath(run_dir)
     name = name or path.basename(run_dir)
     makedirs(out_dir, exist_ok=True)
 
     config = Config.from_yaml(path.join(run_dir, "config.yaml"))
+    if overrides:
+        config.apply_overrides(overrides)
     model = load_model(config)
 
     from ddsp_pytorch_tpu.training.state import Checkpointer

@@ -189,6 +189,14 @@ class StreamEngine:
                 "this libddsp_stream.so predates the input-audio ring; "
                 "rebuild the native runtime"
             )
+        if audio is not None and not self.with_audio:
+            # The plain engine would copy this into a ring the renderer
+            # never reads — a silent no-op masking a caller mistake.
+            raise ValueError(
+                "audio passed to a StreamEngine created with "
+                "with_audio=False; construct with with_audio=True to feed "
+                "an input-audio ring"
+            )
         if audio is not None:
             audio = np.ascontiguousarray(audio, np.float32)
             rc = self._lib.ddsp_stream_process_audio(

@@ -396,7 +396,12 @@ class Trainer:
 
     def _fit(self, datamodule, total_steps, preempted) -> TrainState:
         cfg = self.config
-        total_steps = total_steps or cfg.train.steps
+        # explicit None test: total_steps=0 is a valid "prime only" run —
+        # compute/freeze loudness stats and save the step-0 checkpoint
+        # without training (the stats-priming child of a --segment-steps
+        # run; its pulls poison a throwaway process, not a training one)
+        if total_steps is None:
+            total_steps = cfg.train.steps
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 
@@ -408,13 +413,23 @@ class Trainer:
             # would silently change the trained function.  (Also keeps
             # resumed/segmented runs free of the device pull on
             # tunnel-attached chips — BASELINE.md 'degraded windows'.)
+            # …but ONLY when there is actually a checkpoint to resume from:
+            # a fresh run reusing a stale run_dir (leftover config.yaml from
+            # an earlier run against a since-regenerated dataset) must
+            # recompute its stats, not inherit dead ones.
             frozen = os.path.join(self.run_dir, "config.yaml")
-            if os.path.exists(frozen):
+            if os.path.exists(frozen) and (
+                self.checkpointer.latest_step() is not None
+            ):
                 try:
                     fcfg = Config.from_yaml(frozen)
                     mean_l = fcfg.data.mean_loudness
                     std_l = fcfg.data.std_loudness
-                except Exception:
+                except Exception as e:
+                    print(
+                        f"[train] WARNING: could not reuse loudness stats "
+                        f"from frozen {frozen} ({e!r}); recomputing."
+                    )
                     mean_l = std_l = None
         if mean_l is None or std_l is None:
             from ddsp_pytorch_tpu.ops import mean_std_loudness
@@ -460,6 +475,7 @@ class Trainer:
         mean_loss, n_elem = 0.0, 0
         step = start_step
         t_last, s_last = time.time(), step
+        t_fit_start = t_last  # train-window clock: dispatch start → drained
         start_epoch = start_step // max(1, steps_per_epoch)
 
         # Device-side metric buffer: scalars are fetched in one device_get
@@ -531,7 +547,10 @@ class Trainer:
                 self.checkpointer.save(state, wait=True)
                 return True
             every = cfg.train.checkpoint_every_steps
-            if step // every > prev_step // every:
+            if every > 0 and step // every > prev_step // every:
+                # NB: a mid-run save pulls the full state device→host; on
+                # tunnel-attached chips prefer 0 (= final save only, the
+                # segment boundary IS the checkpoint cadence)
                 self.checkpointer.save(state)
             if step - s_last >= 100:
                 now = time.time()
@@ -600,10 +619,21 @@ class Trainer:
             if step - last_flush >= flush_every:
                 flush_metrics()
 
-            if epoch % cfg.train.val_interval_epochs == 0:
+            # interval 0 disables validation/media entirely: both pull
+            # device data, and on tunnel-attached chips the FIRST pull
+            # permanently degrades the process ~130× (BASELINE.md
+            # 'degraded windows') — a sustained-throughput segment must
+            # stay pull-free until its tail.
+            if (
+                cfg.train.val_interval_epochs > 0
+                and epoch % cfg.train.val_interval_epochs == 0
+            ):
                 self._run_validation(state, val_loader, step)
 
-            if epoch % cfg.train.log_interval_epochs == 0:
+            if (
+                cfg.train.log_interval_epochs > 0
+                and epoch % cfg.train.log_interval_epochs == 0
+            ):
                 # a log epoch pulls device data anyway (_log_media), so
                 # drain pending metrics first — the per-epoch best-loss
                 # mean must include this epoch's steps even when
@@ -635,6 +665,21 @@ class Trainer:
             buf.clear()
             housekeeping(prev_step)
 
+        if step > start_step:
+            # Honest sustained-throughput measurement for this process:
+            # block until the dispatch queue drains (a host-side WAIT on
+            # device arrays — no transfer, so it does not trigger the
+            # tunnel degradation), THEN stamp the window.  Everything
+            # after this line (metric flush, checkpoint save) is the
+            # process tail and is excluded by construction.
+            jax.block_until_ready(state.step)
+            window = time.time() - t_fit_start
+            self.metrics.add_scalar("train_window_s", window, step)
+            self.metrics.add_scalar(
+                "train_window_steps_per_s",
+                (step - start_step) / max(window, 1e-9),
+                step,
+            )
         flush_metrics()
         self.checkpointer.save(state, wait=True)
         return state

@@ -22,6 +22,11 @@ def main():
         help="also copy the training wavs next to the bundle "
         "(reference export.py DATA option)",
     )
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY.PATH=VALUE",
+                   help="override any field of the run's frozen config "
+                        "before export (dotted path, YAML-parsed value; "
+                        "repeatable)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -30,7 +35,9 @@ def main():
 
     from ddsp_pytorch_tpu.export import export_run
 
-    bundle = export_run(args.run, args.out_dir, name=args.name)
+    bundle = export_run(
+        args.run, args.out_dir, name=args.name, overrides=args.overrides
+    )
     print(f"exported bundle: {bundle}")
 
     if args.data:

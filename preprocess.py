@@ -21,6 +21,10 @@ def main():
     p.add_argument("--partition", default=None,
                    help="process only this partition (default: train and "
                         "validation)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY.PATH=VALUE",
+                   help="override any config field (dotted path, "
+                        "YAML-parsed value; repeatable)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -30,6 +34,7 @@ def main():
     from ddsp_pytorch_tpu.config import Config
 
     config = Config.from_yaml(args.config)
+    config.apply_overrides(args.overrides)
 
     if args.from_sigmund:
         from ddsp_pytorch_tpu.data.sigmund import preprocess_from_sigmund

@@ -113,7 +113,8 @@ def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
         make_oof_corpus,
     )
 
-    root = tempfile.mkdtemp()
+    root_tmp = tempfile.TemporaryDirectory(prefix="ddsp_pitch_robust_")
+    root = root_tmp.name
     out = {"sample_rate": sample_rate, "block_size": block_size,
            "n_validation": n_validation, "conditions": {}, "extremes": {}}
 
@@ -135,10 +136,14 @@ def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
                   f"mean|cents|={_fmt(o['mean_abs_cents'])} "
                   f"n={o['n_frames']}")
 
-    for tag, kwargs in DEGRADATIONS.items():
-        run(tag, (45, 76), kwargs, "conditions")
-    run("clean", (36, 86), {}, "extremes")
-    run("snr10_reverb", (36, 86), dict(snr_db=10.0, rt60=0.3), "extremes")
+    try:
+        for tag, kwargs in DEGRADATIONS.items():
+            run(tag, (45, 76), kwargs, "conditions")
+        run("clean", (36, 86), {}, "extremes")
+        run("snr10_reverb", (36, 86), dict(snr_db=10.0, rt60=0.3),
+            "extremes")
+    finally:
+        root_tmp.cleanup()  # ~tens of MB of generated wavs per invocation
     return out
 
 

@@ -159,6 +159,72 @@ train:
     assert cfg.n_frames == 375
 
 
+def test_config_apply_overrides():
+    """Any-key dotted-path CLI overrides (parity: the reference's
+    effortless_config lets any config field be overridden from the command
+    line, reference train.py:19-28)."""
+    import pytest
+
+    cfg = Config()
+    cfg.apply_overrides([
+        "train.lr=3e-4",
+        "model.kwargs.hidden_size=256",
+        "preprocess.pitch_tracker=crepe",
+        "train.scales=[512, 256]",
+        "train.grad_clip_norm=1.0",
+        "mesh.time=4",
+    ])
+    assert cfg.train.lr == 3e-4  # YAML-parsed float, not the string
+    assert cfg.model.kwargs["hidden_size"] == 256
+    assert cfg.preprocess.pitch_tracker == "crepe"
+    assert cfg.train.scales == [512, 256]
+    assert cfg.train.grad_clip_norm == 1.0
+    assert cfg.mesh.time == 4
+    with pytest.raises(ValueError, match="valid here"):
+        cfg.apply_overrides(["train.no_such_field=1"])
+    with pytest.raises(ValueError, match="key.path=value"):
+        cfg.apply_overrides(["train.lr"])
+
+
+def test_train_cli_set_override_lands_in_frozen_config(tmp_path):
+    """`train.py --set train.lr=...` must reach the run's frozen
+    config.yaml (the artifact resume/export read)."""
+    import subprocess
+    import sys
+
+    from ddsp_pytorch_tpu.data import make_synthetic_dataset
+
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(cache, n_items=2, sample_rate=16000,
+                           signal_length=8192, block_size=256, n_harmonic=8)
+    cfg = Config.from_dict({
+        "preprocess": {"sample_rate": 16000, "signal_length": 8192,
+                       "block_size": 256, "out_dir": cache},
+        "model": {"name": "single-inst-decoder",
+                  "kwargs": {"hidden_size": 16, "n_harmonic": 8,
+                             "n_bands": 9, "sample_rate": 16000,
+                             "block_size": 256, "has_reverb": False,
+                             "use_pallas": "never"}},
+        "train": {"scales": [256], "batch": 2, "steps": 1,
+                  "checkpoint_every_steps": 1},
+    })
+    cfg_path = os.path.join(tmp_path, "c.yaml")
+    cfg.to_yaml(cfg_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py"),
+         "--config", cfg_path, "--root", str(tmp_path), "--name", "ovr",
+         "--platform", "cpu", "--no-mesh",
+         "--set", "train.lr=2.5e-4",
+         "--set", "train.metrics_flush_steps=1"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    frozen = Config.from_yaml(os.path.join(tmp_path, "ovr", "config.yaml"))
+    assert frozen.train.lr == 2.5e-4
+    assert frozen.train.metrics_flush_steps == 1
+
+
 def test_sigmund_ingestion(tmp_path):
     """3-channel wav → npy cache (reference preprocess_from_sigmund.py)."""
     from scipy.io import wavfile

@@ -236,3 +236,41 @@ def test_chebyshev_xla_matches_direct_and_f64(rng):
             np.asarray(gc), np.asarray(gd), atol=2e-4 * scale, rtol=2e-4,
             err_msg=name,
         )
+
+
+def test_chebyshev_worst_case_max_production_harmonics(rng):
+    """Chebyshev recurrence error grows with harmonic index: cover the
+    maximum production K (100, the headline 48 kHz voice) at LOW f0 —
+    small per-sample angles, where sin(kθ) is built from ~100 recurrence
+    steps on a near-zero seed — against the f64 oracle.  Shipped configs go
+    up to n_harmonic=100 (configs/, bench.py); the K=64 test above would
+    leave the worst production harmonic untested (ADVICE r3)."""
+    from ddsp_pytorch_tpu.ops.oscillator import (
+        _harmonic_synth_frames_xla,
+        phase_accumulate_frames,
+    )
+
+    b, f, s, k, sr = 1, 32, 512, 100, 48000.0
+    # low fundamentals: 25–80 Hz → per-sample angle ~3e-3..1e-2 rad
+    f0 = jnp.asarray(rng.uniform(25, 80, (b, f)).astype(np.float32))
+    # weight energy toward the TOP harmonics so their error dominates
+    w = (np.arange(1, k + 1) / k) ** 2
+    amp = jnp.asarray(
+        (rng.random((b, f, k)) * w / w.sum()).astype(np.float32)
+    )
+    phi, _ = phase_accumulate_frames(f0, s, sr)
+    y = np.asarray(_harmonic_synth_frames_xla(f0, amp, phi, s, sr))
+
+    f064 = np.asarray(f0, np.float64)
+    phi64 = np.asarray(phi, np.float64)
+    base = phi64[..., None] + (2 * np.pi / sr) * f064[..., None] * np.arange(
+        1, s + 1
+    )
+    ks = np.arange(1, k + 1)
+    y64 = np.einsum(
+        "bfsk,bfk->bfs",
+        np.sin(base[..., None] * ks),
+        np.asarray(amp, np.float64),
+    ).reshape(b, -1)
+    # unit-total-amplitude signal: absolute error budget well below -80 dBFS
+    assert np.max(np.abs(y - y64)) < 1e-4, np.max(np.abs(y - y64))

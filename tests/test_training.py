@@ -266,9 +266,15 @@ def test_device_loader_vectorized_loudness_stats(tmp_path):
     from ddsp_pytorch_tpu.data.dataset import Dataset, DeviceDataLoader
     from ddsp_pytorch_tpu.ops import mean_std_loudness
 
-    cache = str(tmp_path / "cache")
-    make_synthetic_dataset(cache, n_items=7)  # 7 % 2 → partial last batch
     cfg, _ = _tiny_setup(tmp_path, steps=4)
+    # Own directory for the 7-item cache: _tiny_setup writes a 4-item
+    # dataset at tmp_path/"cache" and must not clobber this one (7 % 2 and
+    # 7 % 4 → partial last batches, the grouping path under test).
+    cache = str(tmp_path / "cache7")
+    make_synthetic_dataset(
+        cache, n_items=7, sample_rate=16000, signal_length=8192,
+        block_size=256, n_harmonic=8,
+    )
     cfg.preprocess.out_dir = cache
     dm = Datamodule(cfg, device_cache=True)
     dm.setup()
@@ -390,7 +396,7 @@ train:
         capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    assert r.stdout.count("[segment]") == 3  # 5, 10, 12
+    assert r.stdout.count("[segment]") == 4  # prime(0), 5, 10, 12
     steps = []
     with open(tmp_path / "runs" / "seg" / "metrics.jsonl") as f:
         for line in f:
@@ -398,3 +404,9 @@ train:
             if rec["tag"] == "loss":
                 steps.append(rec["step"])
     assert steps == list(range(1, 13)), steps
+    # per-segment wall-clock log (TRAINRUN artifacts build on this)
+    segs = [json.loads(l)
+            for l in open(tmp_path / "runs" / "seg" / "segments.jsonl")]
+    assert [s["label"] for s in segs] == ["prime-stats"] + ["train"] * 3
+    assert [s["to_step"] for s in segs] == [0, 5, 10, 12]
+    assert all(s["returncode"] == 0 for s in segs)

@@ -64,6 +64,17 @@ def main():
         "<run_dir>/trace (view in XProf/TensorBoard)",
     )
     p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY.PATH=VALUE",
+        dest="overrides",
+        help="override any config field (dotted path, YAML-parsed value; "
+        "repeatable), e.g. --set train.lr=3e-4 "
+        "--set model.kwargs.hidden_size=256 — parity with the reference's "
+        "effortless_config CLI (reference train.py:19-28)",
+    )
+    p.add_argument(
         "--segment-steps",
         type=int,
         default=None,
@@ -80,13 +91,19 @@ def main():
     if args.segment_steps is not None:
         return _run_segmented(args)
 
+    import jax
+
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
+    # Persistent XLA compilation cache: a --segment-steps run pays the
+    # full-model TPU compile (~60-90 s) only in its FIRST child process;
+    # every later segment (and every re-run at the same shapes) hits disk.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        path.expanduser("~/.cache/ddsp_tpu_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.multihost:
-        import jax
-
         jax.distributed.initialize()
 
     from ddsp_pytorch_tpu.config import Config
@@ -94,6 +111,7 @@ def main():
     from ddsp_pytorch_tpu.training import Trainer
 
     config = Config.from_yaml(args.config)
+    config.apply_overrides(args.overrides)
     if args.steps is not None:
         config.train.steps = args.steps
     if args.batch is not None:
@@ -140,13 +158,24 @@ def main():
 
 def _run_segmented(args) -> None:
     """Spawn child `train.py` invocations of --segment-steps each (fresh
-    process = fresh tunnel session), up to the configured total steps."""
+    process = fresh tunnel session), up to the configured total steps.
+
+    The first child is a stats-priming run (--steps 0): it computes the
+    dataset loudness stats, freezes them into the run config and saves the
+    step-0 checkpoint — so its device→host pulls poison a throwaway
+    process, and every TRAINING segment resumes with frozen stats and
+    stays pull-free until its own tail (BASELINE.md 'degraded windows').
+    Per-segment wall-clock is appended to <run_dir>/segments.jsonl.
+    """
+    import json
     import subprocess
     import sys
+    import time
 
     from ddsp_pytorch_tpu.config import Config
 
     config = Config.from_yaml(args.config)
+    config.apply_overrides(args.overrides)
     total = args.steps if args.steps is not None else config.train.steps
     seg = args.segment_steps
     if seg <= 0:
@@ -166,14 +195,32 @@ def _run_segmented(args) -> None:
         if a.startswith("--segment-steps=") or a.startswith("--steps="):
             continue
         cleaned.append(a)
+
+    run_dir = path.join(args.root, args.name)
+    seg_log = path.join(run_dir, "segments.jsonl")
+
+    def child(boundary, label):
+        cmd = [sys.executable, __file__, *cleaned, "--steps", str(boundary)]
+        print(f"[segment] {label} -> step {boundary}/{total}", flush=True)
+        t0 = time.time()
+        rc = subprocess.run(cmd).returncode
+        dt = time.time() - t0
+        from os import makedirs
+
+        makedirs(run_dir, exist_ok=True)
+        with open(seg_log, "a") as f:
+            f.write(json.dumps({
+                "label": label, "to_step": boundary, "total": total,
+                "wall_s": round(dt, 3), "returncode": rc,
+            }) + "\n")
+        if rc != 0:
+            sys.exit(rc)
+
+    child(0, "prime-stats")
     boundary = 0
     while boundary < total:
         boundary = min(boundary + seg, total)
-        cmd = [sys.executable, __file__, *cleaned, "--steps", str(boundary)]
-        print(f"[segment] -> step {boundary}/{total}", flush=True)
-        rc = subprocess.run(cmd).returncode
-        if rc != 0:
-            sys.exit(rc)
+        child(boundary, "train")
 
 
 if __name__ == "__main__":
