@@ -103,28 +103,39 @@ def make_pitch_fn(config: Config):
 
     "yin" (default) → None (preprocess uses ops/pitch.py);
     "crepe" → the trained CREPE-architecture model (models/crepe.py), loaded
-    from preprocess.crepe_params (saved by scripts/train_crepe.py).
+    from preprocess.crepe_params (saved by scripts/train_crepe.py);
+    "hybrid" (recommended — docs/usage.md) → the CREPE×YIN fused decode
+    (models/crepe.py:extract_pitch_hybrid), ≥ either tracker alone across
+    the robustness conditions (pretrained/pitch_robustness.json).
     """
     pc = config.preprocess
     tracker = getattr(pc, "pitch_tracker", "yin")
     if tracker == "yin":
         return None
-    if tracker != "crepe":
-        raise ValueError(f"unknown pitch_tracker: {tracker!r} (yin|crepe)")
+    if tracker not in ("crepe", "hybrid"):
+        raise ValueError(
+            f"unknown pitch_tracker: {tracker!r} (yin|crepe|hybrid)"
+        )
     if not pc.crepe_params:
         raise ValueError(
-            "pitch_tracker: crepe needs preprocess.crepe_params "
+            f"pitch_tracker: {tracker} needs preprocess.crepe_params "
             "(train one with scripts/train_crepe.py)"
         )
     from flax import serialization
 
-    from ddsp_pytorch_tpu.models.crepe import extract_pitch_crepe
+    from ddsp_pytorch_tpu.models.crepe import (
+        extract_pitch_crepe,
+        extract_pitch_hybrid,
+    )
 
     with open(pc.crepe_params, "rb") as fh:
         bundle = serialization.msgpack_restore(bytearray(fh.read()))
 
+    extract = (extract_pitch_hybrid if tracker == "hybrid"
+               else extract_pitch_crepe)
+
     def pitch_fn(row, sample_rate, block_size):
-        return extract_pitch_crepe(
+        return extract(
             row, sample_rate, block_size, bundle, capacity=pc.crepe_capacity
         )
 

@@ -63,6 +63,22 @@ def export_run(
     config = Config.from_yaml(path.join(run_dir, "config.yaml"))
     if overrides:
         config.apply_overrides(overrides)
+    if (
+        config.model.name == "mfcc-autoencoder"
+        and config.preprocess.mfcc_ref_db is None
+    ):
+        import warnings
+
+        warnings.warn(
+            "exporting an mfcc-autoencoder trained with "
+            "preprocess.mfcc_ref_db=None: training MFCCs used librosa's "
+            "anti-causal global-max dB floor, but the live StreamingMFCC "
+            "is causal and floorless, so streamed features will diverge "
+            "from training features on quiet mel bins. Retrain with a "
+            "fixed mfcc_ref_db (configs/autoencoder.yaml sets 0.0) for "
+            "exact train==stream agreement.",
+            stacklevel=2,
+        )
     model = load_model(config)
 
     from ddsp_pytorch_tpu.training.state import Checkpointer

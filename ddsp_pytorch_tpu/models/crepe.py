@@ -215,29 +215,23 @@ def _jitted_salience(capacity: str):
     return apply
 
 
-def extract_pitch_crepe(
+def crepe_salience(
     signal,
     sample_rate: int,
     block_size: int,
     params,
     capacity: str = "tiny",
-    viterbi: bool = True,
     batch_frames: int = 512,
 ):
-    """Frame-rate f0 in Hz via the trained CREPE-architecture model.
+    """(T,) mono at `sample_rate` → ((F16, 360) salience, hop) at 16 kHz.
 
-    Same length contract as ops.pitch.extract_pitch and the reference
-    (core.py:100-119): (T,) → (T // block_size,), with the model run at
-    16 kHz on an integer hop and the track re-interpolated to the block
-    grid — exactly the reference's np.interp step (core.py:113-118).
-
-    `params` is the dict saved by scripts/train_crepe.py
-    ({'params': ..., 'batch_stats': ...}).
-    """
+    F16 = 1 + len(resample(signal))//hop frames, center-padded, hop =
+    16000·block_size/sample_rate samples — the frame grid the reference's
+    CREPE call produces (core.py:104-108) before its np.interp back to the
+    block grid."""
     signal = jnp.asarray(signal, jnp.float32)
     if signal.ndim != 1:
         raise ValueError(f"expects a mono (T,) signal, got {signal.shape}")
-    n_out = int(signal.shape[-1]) // int(block_size)
 
     x16 = resample_to_model_rate(signal, int(sample_rate))
     hop = max(1, int(MODEL_SRATE * block_size / sample_rate))
@@ -262,14 +256,186 @@ def extract_pitch_crepe(
         if n_chunk < batch_frames:
             chunk = jnp.pad(chunk, ((0, batch_frames - n_chunk), (0, 0)))
         saliences.append(apply(variables, chunk)[:n_chunk])
-    salience = jnp.concatenate(saliences, axis=0)
+    return jnp.concatenate(saliences, axis=0), hop
 
-    cents = (
-        viterbi_cents(salience) if viterbi else salience_to_cents(salience)
-    )
-    f0 = cents_to_hz(cents)
-    # re-interpolate the 16 kHz-hop track onto the block grid
+
+def _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate):
+    """16 kHz-hop track → block-grid track (the reference's np.interp,
+    core.py:113-118)."""
     src_t = np.arange(f0.shape[0]) * hop / MODEL_SRATE
     dst_t = np.arange(n_out) * block_size / sample_rate
     return jnp.interp(jnp.asarray(dst_t, jnp.float32),
                       jnp.asarray(src_t, jnp.float32), f0)
+
+
+def extract_pitch_crepe(
+    signal,
+    sample_rate: int,
+    block_size: int,
+    params,
+    capacity: str = "tiny",
+    viterbi: bool = True,
+    batch_frames: int = 512,
+):
+    """Frame-rate f0 in Hz via the trained CREPE-architecture model.
+
+    Same length contract as ops.pitch.extract_pitch and the reference
+    (core.py:100-119): (T,) → (T // block_size,), with the model run at
+    16 kHz on an integer hop and the track re-interpolated to the block
+    grid — exactly the reference's np.interp step (core.py:113-118).
+
+    `params` is the dict saved by scripts/train_crepe.py
+    ({'params': ..., 'batch_stats': ...}).
+    """
+    n_out = int(jnp.shape(signal)[-1]) // int(block_size)
+    salience, hop = crepe_salience(
+        signal, sample_rate, block_size, params, capacity, batch_frames
+    )
+    cents = (
+        viterbi_cents(salience) if viterbi else salience_to_cents(salience)
+    )
+    f0 = cents_to_hz(cents)
+    return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
+
+
+# ------------------------------------------------------- CREPE×YIN fusion
+
+
+@functools.lru_cache(maxsize=None)
+def _yin_to_crepe_grid(fmin: float, fmax: float, bins_per_octave: int):
+    """Linear-interp gather (idx0, idx1, frac) from the YIN log grid onto
+    the CREPE cents grid, clamped to the YIN grid's edges."""
+    from ddsp_pytorch_tpu.ops.pitch import _pitch_grid
+
+    yin_cents = 1200.0 * np.log2(_pitch_grid(fmin, fmax, bins_per_octave)
+                                 / 10.0)
+    pos = np.interp(cents_grid(), yin_cents, np.arange(yin_cents.shape[0]))
+    idx0 = np.clip(np.floor(pos).astype(np.int32), 0, yin_cents.shape[0] - 2)
+    frac = (pos - idx0).astype(np.float32)
+    return jnp.asarray(idx0), jnp.asarray(frac)
+
+
+def extract_pitch_hybrid(
+    signal,
+    sample_rate: int,
+    block_size: int,
+    params,
+    capacity: str = "tiny",
+    batch_frames: int = 512,
+    yin_weight: float = 4.0,
+    crepe_weight: float = 1.0,
+    switch_per_octave: float = 3.0,
+    fmin: float = 50.0,
+    fmax: float = 2000.0,
+):
+    """CREPE×YIN fused pitch: joint Viterbi over both evidence maps.
+
+    The reference's parity path is neural (TF-CREPE, core.py:100-119); the
+    classical YIN estimator is more robust in some degraded regimes
+    (pretrained/pitch_robustness.json).  Their error modes are
+    uncorrelated — CREPE misses come from out-of-distribution timbres,
+    YIN misses from broadband noise filling the CMNDF dips — so fusing the
+    evidence *before* decoding beats either alone: per 16 kHz-hop frame,
+
+        cost(f) = crepe_weight · (−log S_crepe(f))
+                + yin_weight   · d'_yin(f)            (CMNDF, 0 = periodic)
+
+    on CREPE's 20-cent grid (YIN's 60-bins/octave grid is also 20 cents;
+    the map is a fixed linear-interp gather), then one Viterbi pass with
+    the same per-octave jump penalty as viterbi_cents, and CREPE's local
+    weighted average around the decoded path using the combined
+    pseudo-salience exp(−cost).  Same (T,) → (T//block_size,) length
+    contract as extract_pitch / extract_pitch_crepe.
+    """
+    salience, d_16, hop = hybrid_evidence(
+        signal, sample_rate, block_size, params, capacity, batch_frames,
+        fmin=fmin, fmax=fmax,
+    )
+    n_out = int(jnp.shape(signal)[-1]) // int(block_size)
+    f0 = decode_fused(salience, d_16, yin_weight=yin_weight,
+                      crepe_weight=crepe_weight,
+                      switch_per_octave=switch_per_octave)
+    return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
+
+
+def hybrid_evidence(
+    signal,
+    sample_rate: int,
+    block_size: int,
+    params,
+    capacity: str = "tiny",
+    batch_frames: int = 512,
+    fmin: float = 50.0,
+    fmax: float = 2000.0,
+):
+    """Both evidence maps on CREPE's (frame, cents) grid:
+    ((F16, 360) salience, (F16, 360) YIN CMNDF, hop)."""
+    from ddsp_pytorch_tpu.ops.pitch import yin_emission
+
+    signal = jnp.asarray(signal, jnp.float32)
+    if signal.ndim != 1:
+        raise ValueError(f"expects a mono (T,) signal, got {signal.shape}")
+
+    salience, hop = crepe_salience(
+        signal, sample_rate, block_size, params, capacity, batch_frames
+    )
+    n16 = salience.shape[0]
+
+    # YIN evidence at the signal's own rate on the block hop...
+    d = yin_emission(signal, int(sample_rate), int(block_size),
+                     fmin=fmin, fmax=fmax)
+    # ...onto the CREPE cents grid (frequency axis)...
+    idx0, frac = _yin_to_crepe_grid(fmin, fmax, 60)
+    d_c = d[:, idx0] * (1.0 - frac) + d[:, idx0 + 1] * frac  # (Fy, 360)
+    # ...and onto the CREPE frame times (time axis).  YIN frame j sits at
+    # j·block/sr seconds; CREPE frame i at i·hop/16000.
+    pos = (np.arange(n16) * hop / MODEL_SRATE) * sample_rate / block_size
+    t0 = np.clip(np.floor(pos).astype(np.int32), 0, d.shape[0] - 2)
+    tfrac = jnp.asarray((pos - t0).astype(np.float32))[:, None]
+    t0 = jnp.asarray(t0)
+    d_16 = d_c[t0] * (1.0 - tfrac) + d_c[t0 + 1] * tfrac  # (F16, 360)
+    return salience, d_16, hop
+
+
+def decode_fused(
+    salience,
+    d_16,
+    yin_weight: float = 4.0,
+    crepe_weight: float = 1.0,
+    switch_per_octave: float = 3.0,
+    salience_floor: float = 1e-6,
+    confidence_gate: float = 0.0,
+):
+    """Fused evidence → (F16,) f0 in Hz (Viterbi + local-average refine).
+
+    salience_floor: clip floor for −log S — caps how strongly CREPE can
+    veto a bin it assigns ~zero salience (a higher floor hands broadband-
+    noise frames to the YIN evidence).
+    confidence_gate: scale each frame's CREPE cost by its peak salience
+    raised to this power (0 = off), so frames where the net is unconfident
+    defer to YIN; bool True is accepted as 1.0.
+    """
+    from ddsp_pytorch_tpu.ops.pitch import _viterbi
+
+    crepe_cost = -jnp.log(jnp.clip(salience, salience_floor, 1.0))
+    gate_pow = float(confidence_gate)
+    if gate_pow > 0.0:
+        conf = salience.max(axis=-1, keepdims=True)
+        crepe_cost = crepe_cost * conf ** gate_pow
+    cost = crepe_weight * crepe_cost + yin_weight * d_16
+
+    bins_per_octave = 1200.0 / CENTS_PER_BIN
+    dist_oct = (
+        np.abs(np.arange(N_BINS)[:, None] - np.arange(N_BINS)[None, :])
+        / bins_per_octave
+    )
+    switch = jnp.asarray((switch_per_octave * dist_oct).astype(np.float32))
+    path = _viterbi(cost, switch)
+
+    fused_salience = jnp.exp(-(cost - cost.min(axis=-1, keepdims=True)))
+    onehotish = jnp.where(
+        jnp.abs(jnp.arange(N_BINS)[None, :] - path[:, None]) <= 4,
+        fused_salience,
+        0.0,
+    )
+    return cents_to_hz(salience_to_cents(onehotish))

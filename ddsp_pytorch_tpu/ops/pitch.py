@@ -114,15 +114,22 @@ def _viterbi(emission: jnp.ndarray, switch_penalty: jnp.ndarray) -> jnp.ndarray:
     jax.jit, static_argnames=("sample_rate", "block_size", "fmin", "fmax",
                               "frame_length", "bins_per_octave")
 )
-def _track(
+def yin_emission(
     signal,
     sample_rate: int,
     block_size: int,
-    fmin: float,
-    fmax: float,
-    frame_length: int,
-    bins_per_octave: int,
+    fmin: float = 50.0,
+    fmax: float = 2000.0,
+    frame_length: int = 2048,
+    bins_per_octave: int = 60,
 ):
+    """Per-frame YIN emission costs over the log pitch grid.
+
+    (T,) → (1 + T//block_size, n_bins) CMNDF values d'(f) evaluated on the
+    log-spaced grid (``ops.pitch._pitch_grid(fmin, fmax, bins_per_octave)``),
+    subharmonic-penalized — the matrix ``_track`` Viterbi-decodes, exposed
+    so fusion trackers (models/crepe.py:extract_pitch_hybrid) can combine
+    YIN evidence with a neural salience map before decoding."""
     tau_max = int(math.ceil(sample_rate / fmin))
     window = frame_length
     frames = _frame_centered(signal, window + tau_max, block_size)
@@ -153,6 +160,25 @@ def _track(
     # numerically-tied dips, far too small to override a real CMNDF contrast.
     octaves_above_min_lag = np.log2(taus / taus.min())
     emis = emis + jnp.asarray((0.02 * octaves_above_min_lag).astype(np.float32))
+    return emis
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sample_rate", "block_size", "fmin", "fmax",
+                              "frame_length", "bins_per_octave")
+)
+def _track(
+    signal,
+    sample_rate: int,
+    block_size: int,
+    fmin: float,
+    fmax: float,
+    frame_length: int,
+    bins_per_octave: int,
+):
+    grid = _pitch_grid(fmin, fmax, bins_per_octave)
+    emis = yin_emission(signal, sample_rate, block_size, fmin, fmax,
+                        frame_length, bins_per_octave)
 
     # Viterbi: quadratic-in-distance jump penalty, in octaves.
     n_bins = grid.shape[0]

@@ -463,7 +463,14 @@ class Trainer:
         state, resumed = self.resume_or_init(
             self.shard_batch(sample), mean_l, std_l
         )
-        start_step = int(state.step)
+        # The resume step comes from the checkpoint's on-disk step number,
+        # NOT int(state.step): the restored step is a device scalar, and
+        # pulling it would be this process's first device→host transfer —
+        # which on tunnel-attached chips permanently degrades the session
+        # ~130× before training even starts (BASELINE.md 'degraded
+        # windows'; measured: segment train-window 4.9 steps/s with the
+        # pull vs ~10³ without).
+        start_step = (self.checkpointer.latest_step() or 0) if resumed else 0
 
         steps_per_epoch = len(train_loader)
         n_epochs = int(np.ceil(total_steps / max(1, steps_per_epoch)))

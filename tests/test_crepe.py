@@ -129,6 +129,57 @@ def test_extract_pitch_crepe_length_contract():
     assert np.all(np.isfinite(np.asarray(f0)))
 
 
+def test_extract_pitch_hybrid_yin_evidence_carries_untrained_net():
+    """The CREPE×YIN fusion must stay accurate even when the neural side
+    is uninformative: an UNTRAINED micro net emits near-flat salience, so
+    the YIN CMNDF evidence (plus the confidence gate) decides — a clean
+    220 Hz tone must decode to ~220 Hz, and the length contract holds."""
+    from ddsp_pytorch_tpu.models.crepe import extract_pitch_hybrid
+
+    model, variables, _ = _init()
+    sr, block = 16000, 256
+    t = sr  # 1 s
+    x = np.sin(2 * np.pi * 220.0 * np.arange(t) / sr).astype(np.float32)
+    f0 = np.asarray(extract_pitch_hybrid(
+        jnp.asarray(x), sr, block, variables, capacity="micro"
+    ))
+    assert f0.shape == (t // block,)
+    mid = f0[4:-4]
+    assert np.abs(1200 * np.log2(mid / 220.0)).max() < 50.0  # within 50 c
+
+
+def test_make_pitch_fn_hybrid_wiring(tmp_path):
+    """preprocess.pitch_tracker='hybrid' loads crepe_params and routes rows
+    through extract_pitch_hybrid with the same length contract."""
+    from flax import serialization
+
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data.preprocess import make_pitch_fn
+
+    _, variables, _ = _init()
+    bundle = tmp_path / "crepe_micro.msgpack"
+    bundle.write_bytes(serialization.msgpack_serialize(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}))
+
+    cfg = Config.from_dict({
+        "preprocess": {"sample_rate": 16000, "signal_length": 8192,
+                       "block_size": 256, "pitch_tracker": "hybrid",
+                       "crepe_params": str(bundle),
+                       "crepe_capacity": "micro"},
+    })
+    fn = make_pitch_fn(cfg)
+    assert fn is not None
+    x = np.sin(2 * np.pi * 330.0 * np.arange(8192) / 16000).astype(np.float32)
+    f0 = np.asarray(fn(jnp.asarray(x), 16000, 256))
+    assert f0.shape == (8192 // 256,)
+    assert np.all(np.isfinite(f0))
+
+    cfg.preprocess.pitch_tracker = "nope"
+    with pytest.raises(ValueError, match="unknown pitch_tracker"):
+        make_pitch_fn(cfg)
+
+
 @pytest.mark.slow
 def test_micro_training_learns_pitch():
     """A micro-capacity model briefly trained on easy tones must (a) drop

@@ -136,6 +136,34 @@ def test_export_and_load_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_export_warns_on_floorless_autoencoder(tmp_path):
+    """Exporting an mfcc-autoencoder whose frozen config has
+    mfcc_ref_db=None (librosa's anti-causal global-max floor at train
+    time, floorless causal StreamingMFCC live) warns; with the fixed
+    floor (configs/autoencoder.yaml default) it does not."""
+    import warnings
+
+    import yaml
+
+    from ddsp_pytorch_tpu.export import export_run
+
+    run_dir, cfg = _train_tiny_ae(tmp_path)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fixed ref_db: no warning expected
+        export_run(run_dir, os.path.join(tmp_path, "export_ok"), name="ok")
+
+    frozen = os.path.join(run_dir, "config.yaml")
+    with open(frozen) as f:
+        raw = yaml.safe_load(f)
+    raw["preprocess"]["mfcc_ref_db"] = None
+    with open(frozen, "w") as f:
+        yaml.safe_dump(raw, f)
+    with pytest.warns(UserWarning, match="mfcc_ref_db"):
+        export_run(run_dir, os.path.join(tmp_path, "export_warn"), name="warn")
+
+
+@pytest.mark.slow
 def test_exported_impulse_dry_tap(tmp_path):
     from ddsp_pytorch_tpu.export import export_run
     from ddsp_pytorch_tpu.utils.audio_io import load_wav
