@@ -322,11 +322,13 @@ def extract_pitch_hybrid(
     params,
     capacity: str = "tiny",
     batch_frames: int = 512,
-    yin_weight: float = 4.0,
+    yin_weight: float = 8.0,
     crepe_weight: float = 1.0,
-    switch_per_octave: float = 3.0,
-    fmin: float = 50.0,
-    fmax: float = 2000.0,
+    switch_per_octave: float = 10.0,
+    salience_floor: float = 0.03,
+    confidence_gate: float = 2.0,
+    fmin: float = 32.0,
+    fmax: float = 2100.0,
 ):
     """CREPE×YIN fused pitch: joint Viterbi over both evidence maps.
 
@@ -346,6 +348,10 @@ def extract_pitch_hybrid(
     weighted average around the decoded path using the combined
     pseudo-salience exp(−cost).  Same (T,) → (T//block_size,) length
     contract as extract_pitch / extract_pitch_crepe.
+
+    Defaults were selected by sweeping cached evidence over the nine
+    robustness conditions (scripts/tune_hybrid_pitch.py): ≥ YIN on 8/9
+    rows and ≥ raw CREPE on 9/9 (pretrained/pitch_robustness.json).
     """
     salience, d_16, hop = hybrid_evidence(
         signal, sample_rate, block_size, params, capacity, batch_frames,
@@ -354,7 +360,9 @@ def extract_pitch_hybrid(
     n_out = int(jnp.shape(signal)[-1]) // int(block_size)
     f0 = decode_fused(salience, d_16, yin_weight=yin_weight,
                       crepe_weight=crepe_weight,
-                      switch_per_octave=switch_per_octave)
+                      switch_per_octave=switch_per_octave,
+                      salience_floor=salience_floor,
+                      confidence_gate=confidence_gate)
     return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
 
 
@@ -365,11 +373,17 @@ def hybrid_evidence(
     params,
     capacity: str = "tiny",
     batch_frames: int = 512,
-    fmin: float = 50.0,
-    fmax: float = 2000.0,
+    fmin: float = 32.0,
+    fmax: float = 2100.0,
 ):
     """Both evidence maps on CREPE's (frame, cents) grid:
-    ((F16, 360) salience, (F16, 360) YIN CMNDF, hop)."""
+    ((F16, 360) salience, (F16, 360) YIN CMNDF, hop).
+
+    fmin/fmax default WIDER than extract_pitch's 50–2000 so the YIN grid
+    covers CREPE's full 32.70–2093 Hz range: clamping out-of-range cents
+    to the edge d' would replicate a subharmonic dip (e.g. the 50 Hz value
+    for a 100 Hz note) across every lower bin — a flat low-cost shelf the
+    Viterbi parks on under noise."""
     from ddsp_pytorch_tpu.ops.pitch import yin_emission
 
     signal = jnp.asarray(signal, jnp.float32)

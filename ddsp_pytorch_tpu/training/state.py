@@ -21,6 +21,41 @@ from flax import struct
 from flax.core import FrozenDict
 
 
+def bulk_device_get(tree):
+    """Host (numpy) copy of a device pytree in ONE transfer per dtype.
+
+    Orbax's save path pulls each leaf with its own device→host transfer;
+    through the axon tunnel every transfer pays a large fixed cost, and a
+    ~70 MB train state saved leaf-wise measured ~75 KB/s effective (≈16
+    minutes per segment tail) while a single bulk array moves at the
+    tunnel's full ~MB/s.  Packing all same-dtype leaves into one flat
+    device array first makes the checkpoint pull 10-40× faster; the
+    repacking itself is one on-device concatenate.
+
+    Single-process only (a multi-host state is not fully addressable);
+    callers fall back to plain Orbax saves under jax.distributed.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_dtype: dict = {}
+    for i, x in enumerate(leaves):
+        by_dtype.setdefault(jnp.asarray(x).dtype, []).append(i)
+    host: list = [None] * len(leaves)
+    for dt, idxs in by_dtype.items():
+        flat = jnp.concatenate(
+            [jnp.ravel(jnp.asarray(leaves[i])) for i in idxs]
+        )
+        buf = np.asarray(jax.device_get(flat))
+        off = 0
+        for i in idxs:
+            shape = jnp.shape(leaves[i])
+            n = int(np.prod(shape)) if shape else 1
+            host[i] = buf[off : off + n].reshape(shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, host)
+
+
 @struct.dataclass
 class TrainState:
     """Everything needed to resume training exactly."""
@@ -89,6 +124,10 @@ class Checkpointer:
 
     # ------------------------------------------------------------- full state
     def save(self, state: TrainState, wait: bool = False) -> None:
+        if jax.process_count() == 1:
+            # one bulk pull instead of Orbax's per-leaf transfers — see
+            # bulk_device_get (tunnel-attached chips: 10-40× faster tail)
+            state = bulk_device_get(state)
         step = int(state.step)
         self.manager.save(step, args=self._ocp.args.StandardSave(state))
         if wait:

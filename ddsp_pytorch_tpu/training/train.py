@@ -652,8 +652,15 @@ class Trainer:
                     # process calls it.  The mean_loss < best_loss decision
                     # is identical everywhere — it is host float math over
                     # the replicated per-step losses.
+                    from ddsp_pytorch_tpu.training.state import (
+                        bulk_device_get,
+                    )
+
                     self.checkpointer.save_best(
-                        jax.device_get(state.params), step, mean_loss
+                        bulk_device_get(state.params)
+                        if jax.process_count() == 1
+                        else jax.device_get(state.params),
+                        step, mean_loss,
                     )
                 mean_loss, n_elem = 0.0, 0
                 self._log_media(state, sample, step, stage="train")

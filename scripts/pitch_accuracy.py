@@ -49,7 +49,10 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
     if crepe_bundle is not None:
         from flax import serialization
 
-        from ddsp_pytorch_tpu.models.crepe import extract_pitch_crepe
+        from ddsp_pytorch_tpu.models.crepe import (
+            extract_pitch_crepe,
+            extract_pitch_hybrid,
+        )
 
         with open(crepe_bundle, "rb") as f:
             params = serialization.msgpack_restore(f.read())
@@ -57,6 +60,12 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
         trackers["crepe"] = lambda sig: np.asarray(
             extract_pitch_crepe(sig, sr, block_size, params,
                                 capacity=crepe_capacity)
+        )
+        # the recommended robust path: CREPE x YIN fused decode
+        # (models/crepe.py defaults, tuned by scripts/tune_hybrid_pitch.py)
+        trackers["hybrid"] = lambda sig: np.asarray(
+            extract_pitch_hybrid(sig, sr, block_size, params,
+                                 capacity=crepe_capacity)
         )
 
     # accumulate per (tracker, family) and overall

@@ -40,6 +40,19 @@ def main():
     p.add_argument("--tag", default="oof")
     p.add_argument("--platform", default=None, help="cpu to force CPU")
     p.add_argument(
+        "--model", default="decoder", choices=("decoder", "autoencoder"),
+        help="autoencoder = mfcc-autoencoder through the same real "
+             "pipeline (wav -> preprocess -> train -> export), with the "
+             "fixed causal MFCC dB floor (mfcc_ref_db=0) so the exported "
+             "bundle streams exactly (configs/autoencoder.yaml)",
+    )
+    p.add_argument(
+        "--pitch-tracker", default="yin", choices=("yin", "crepe", "hybrid"),
+        help="preprocessing pitch tracker; hybrid = CREPE x YIN fusion "
+             "(models/crepe.py, the recommended robust path)",
+    )
+    p.add_argument("--crepe-params", default="pretrained/crepe_tiny.msgpack")
+    p.add_argument(
         "--degrade", default=None, metavar="CONDITION",
         help="degrade the corpus through fixtures.DEGRADATIONS[CONDITION] "
              "(e.g. full_chain = small-room reverb + mic chain + 10 dB SNR "
@@ -85,17 +98,26 @@ def main():
             degrade_fn=degrade_fn,
         )
 
+    autoencoder = args.model == "autoencoder"
+    preprocess_cfg = {
+        "sample_rate": sr,
+        "signal_length": sl,
+        "block_size": block,
+        "out_dir": cache,
+        "pitch_tracker": args.pitch_tracker,
+    }
+    if args.pitch_tracker != "yin":
+        preprocess_cfg["crepe_params"] = args.crepe_params
+    if autoencoder:
+        # fixed causal MFCC floor: train-time features == StreamingMFCC's
+        preprocess_cfg["mfcc_ref_db"] = 0.0
     cfg = Config.from_dict(
         {
             "data": {"data_location": corpus},
-            "preprocess": {
-                "sample_rate": sr,
-                "signal_length": sl,
-                "block_size": block,
-                "out_dir": cache,
-            },
+            "preprocess": preprocess_cfg,
             "model": {
-                "name": "single-inst-decoder",
+                "name": ("mfcc-autoencoder" if autoencoder
+                         else "single-inst-decoder"),
                 "kwargs": {
                     "hidden_size": 512,
                     "n_harmonic": 64,
@@ -144,7 +166,10 @@ def main():
     traj = {
         "corpus": "out-of-family (fixtures.py: pluck / fm_brass / bowed)",
         "degradation": args.degrade,
-        "pipeline": "wav -> preprocess.py (YIN) -> train -> export",
+        "model": cfg.model.name,
+        "pitch_tracker": args.pitch_tracker,
+        "pipeline": f"wav -> preprocess.py ({args.pitch_tracker}) -> train "
+                    "-> export",
         "steps": len(losses),
         "loss_first10_mean": sum(losses[:10]) / max(len(losses[:10]), 1),
         "loss_last10_mean": sum(losses[-10:]) / max(len(losses[-10:]), 1),

@@ -374,3 +374,54 @@ def test_hard_kill_checkpoint_resume(tmp_path):
     assert out.returncode == 0, "resume run crashed"
     done = [l for l in out.stdout.splitlines() if l.startswith("DONE")]
     assert done and int(done[0].split()[1]) >= 60
+
+
+def test_bulk_device_get_matches_device_get():
+    """bulk_device_get (the one-transfer-per-dtype checkpoint pull for
+    tunnel-attached chips) is bit-identical to leaf-wise jax.device_get
+    over a mixed-dtype pytree including 0-d leaves."""
+    from ddsp_pytorch_tpu.training.state import bulk_device_get
+
+    tree = {
+        "a": jnp.arange(7, dtype=jnp.int32),
+        "b": jnp.linspace(0, 1, 12).reshape(3, 4),
+        "c": {"d": jnp.asarray(2.5), "e": jnp.zeros((2,), jnp.uint32)},
+        "s": jnp.asarray(5, jnp.int32),
+    }
+    host = bulk_device_get(tree)
+    ref = jax.device_get(tree)
+    flat_h = jax.tree_util.tree_flatten_with_path(host)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(ref)[0]
+    assert len(flat_h) == len(flat_r)
+    for (ph, lh), (pr, lr) in zip(flat_h, flat_r):
+        assert ph == pr
+        assert lh.shape == lr.shape and lh.dtype == lr.dtype
+        np.testing.assert_array_equal(lh, lr)
+
+
+def test_checkpoint_save_uses_bulk_path_roundtrip(tmp_path):
+    """Checkpointer.save (bulk host pull) -> restore roundtrips the full
+    TrainState exactly."""
+    import optax
+
+    from ddsp_pytorch_tpu.training.state import Checkpointer, TrainState
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.full((8, 8), 0.5), "b": jnp.zeros((8,))}
+    st = TrainState(
+        step=jnp.asarray(3, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(7),
+        mean_loudness=jnp.asarray(-2.0, jnp.float32),
+        std_loudness=jnp.asarray(1.5, jnp.float32),
+    )
+    ck = Checkpointer(str(tmp_path))
+    ck.save(st, wait=True)
+    restored = ck.restore(st)
+    assert int(restored.step) == 3
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((8, 8), 0.5))
+    np.testing.assert_array_equal(np.asarray(restored.rng),
+                                  np.asarray(st.rng))
+    assert float(restored.std_loudness) == 1.5
