@@ -156,6 +156,13 @@ class DeviceDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    @property
+    def device_data(self) -> dict:
+        """The device-resident dataset arrays (N, ...) — the cache the
+        in-scan-gather multi step (make_train_multi_step_indexed) indexes
+        inside its compiled scan."""
+        return self._data
+
     def __len__(self) -> int:
         if self.drop_last:
             return self._n // self.batch_size

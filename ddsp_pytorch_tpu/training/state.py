@@ -22,15 +22,19 @@ from flax.core import FrozenDict
 
 
 def bulk_device_get(tree):
-    """Host (numpy) copy of a device pytree in ONE transfer per dtype.
+    """Host (numpy) copy of a device pytree in ONE jitted pack + one
+    transfer per dtype.
 
-    Orbax's save path pulls each leaf with its own device→host transfer;
-    through the axon tunnel every transfer pays a large fixed cost, and a
-    ~70 MB train state saved leaf-wise measured ~75 KB/s effective (≈16
-    minutes per segment tail) while a single bulk array moves at the
-    tunnel's full ~MB/s.  Packing all same-dtype leaves into one flat
-    device array first makes the checkpoint pull 10-40× faster; the
-    repacking itself is one on-device concatenate.
+    Through the axon tunnel, BOTH per-leaf transfers and per-op eager
+    dispatches pay a large fixed round-trip cost, and the first completed
+    device→host transfer drops the session into a ~100× slower degraded
+    regime (BASELINE.md).  Orbax's leaf-wise save measured ~75 KB/s
+    effective (a ~70 MB train state ≈ 16-minute segment tail); even eager
+    ravel+concat packing stalled for minutes on dispatch latency alone
+    (~2 000 ops × tunnel RPC).  So the pack is ONE jitted call (one
+    dispatch, persistent-compilation-cacheable) producing one flat array
+    per dtype, pulled largest-first so the big f32 payload rides the
+    still-undegraded session.
 
     Single-process only (a multi-host state is not fully addressable);
     callers fall back to plain Orbax saves under jax.distributed.
@@ -38,17 +42,45 @@ def bulk_device_get(tree):
     import numpy as np
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not any(isinstance(x, jax.Array) for x in leaves):
+        return jax.device_get(tree)  # already host-side: no device trip
+
     by_dtype: dict = {}
     for i, x in enumerate(leaves):
         by_dtype.setdefault(jnp.asarray(x).dtype, []).append(i)
+
+    def pack(ls):
+        out = {}
+        for dt, idxs in by_dtype.items():
+            flats = [jnp.ravel(jnp.asarray(ls[i])) for i in idxs]
+            out[str(dt)] = (
+                jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+            )
+        return out
+
+    import time as _time
+
+    _dbg = os.environ.get("DDSP_BULK_DEBUG")
+
+    def _mark(label):
+        if _dbg:
+            print(f"[bulk_device_get +{_time.time() - _t0:7.1f}s] {label}",
+                  flush=True)
+
+    _t0 = _time.time()
+    _mark(f"pack dispatch ({len(leaves)} leaves)")
+    packed = jax.jit(pack)(leaves)
+    _mark("pack returned (compiled)")
+    # pull the LARGEST group first: it moves at the pre-degradation rate,
+    # and the leftovers (an int32 optimizer count, a uint32 rng) are tiny
+    order = sorted(by_dtype, key=lambda dt: -sum(
+        int(np.prod(jnp.shape(leaves[i])) or 1) for i in by_dtype[dt]))
     host: list = [None] * len(leaves)
-    for dt, idxs in by_dtype.items():
-        flat = jnp.concatenate(
-            [jnp.ravel(jnp.asarray(leaves[i])) for i in idxs]
-        )
-        buf = np.asarray(jax.device_get(flat))
+    for dt in order:
+        buf = np.asarray(jax.device_get(packed[str(dt)]))
+        _mark(f"pulled {buf.nbytes / 1e6:.1f} MB {dt}")
         off = 0
-        for i in idxs:
+        for i in by_dtype[dt]:
             shape = jnp.shape(leaves[i])
             n = int(np.prod(shape)) if shape else 1
             host[i] = buf[off : off + n].reshape(shape)

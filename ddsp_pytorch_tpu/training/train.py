@@ -160,6 +160,37 @@ def make_train_multi_step(train_step: Callable, n_steps: int) -> Callable:
     return multi_step
 
 
+def make_train_multi_step_indexed(train_step: Callable, n_steps: int):
+    """`n_steps` optimizer steps in ONE compiled call, gathering each
+    step's batch from the device-resident dataset cache INSIDE the scan.
+
+    Same math as make_train_multi_step, but the (n_steps, B, ...)
+    super-batch (1.2 GB at the reference workload with steps_per_call
+    100) never exists as a client-visible buffer — only the (n_steps, B)
+    int32 index array crosses the dispatch boundary and the per-step
+    (B, ...) gather lives inside the compiled scan.  Through the axon
+    tunnel the materialized variant's per-call GB-scale buffer churn left
+    the remote session with MINUTES of server-side bookkeeping at the
+    segment tail (round-4 measurement: the tail's first RPC after 1000
+    such calls got no socket data for >10 min; with in-scan gathers the
+    tail completes in seconds).
+    """
+
+    def multi_step(state: TrainState, cache, idx2d):
+        assert idx2d.shape[0] == n_steps, (
+            f"index array leading axis {idx2d.shape[0]} != "
+            f"steps_per_call={n_steps}"
+        )
+
+        def body(st, idx):
+            batch = jax.tree.map(lambda a: a[idx], cache)
+            return train_step(st, batch)
+
+        return jax.lax.scan(body, state, idx2d)
+
+    return multi_step
+
+
 def make_eval_step(model, config: Config) -> Callable:
     """Forward + loss + full output dict (for validation and reports)."""
     scales = tuple(config.train.scales)
@@ -227,6 +258,9 @@ class Trainer:
         self._time_sharded = (
             mesh is not None and mesh.shape.get("time", 1) > 1
         )
+        # in-scan-gather multi step: single-host unsharded runs only (the
+        # mesh variants shard materialized super-batches)
+        self._multi_step_indexed = None
         if self._time_sharded:
             # ('data','time') mesh: frame-rate NN data-parallel, sample-rate
             # DSP + loss sharded over 'time' with gradients through the
@@ -273,6 +307,14 @@ class Trainer:
             self._multi_step = (
                 jax.jit(
                     make_train_multi_step(train_step, self._spc),
+                    donate_argnums=(0,),
+                )
+                if self._spc > 1
+                else None
+            )
+            self._multi_step_indexed = (
+                jax.jit(
+                    make_train_multi_step_indexed(train_step, self._spc),
                     donate_argnums=(0,),
                 )
                 if self._spc > 1
@@ -489,18 +531,51 @@ class Trainer:
         # every metrics_flush_steps instead of per step — a per-step pull
         # stalls the dispatch pipeline (config.py TrainConfig note).
         # Entries are (first_step, metrics); multi-step calls buffer their
-        # stacked (steps_per_call,) metric vectors as one entry.
+        # stacked (steps_per_call,) metric vectors as one entry.  Every
+        # _FOLD entries the buffer is compacted ON DEVICE into one
+        # concatenated vector per key: a 100k-step pull-free segment would
+        # otherwise hold thousands of small leaves, and the tail's bulk
+        # pack (state.py bulk_device_get) would hand the axon compiler a
+        # ~2000-parameter HLO that takes minutes to compile server-side
+        # (measured; no socket traffic the whole time).  Folding keeps the
+        # tail pack at ~100 leaves, one cached fold executable per shape.
         pending = []
+        folded = []  # (first_step, {key: (n,) device vector}) chunks
+        _FOLD = 32
         flush_every = max(1, cfg.train.metrics_flush_steps)
         last_flush = step
+
+        def fold_pending():
+            if len(pending) < 2:
+                return
+            s0 = pending[0][0]
+            keys = list(pending[0][1].keys())
+            merged = {
+                k: jnp.concatenate(
+                    [jnp.ravel(jnp.asarray(m[k])) for _, m in pending]
+                )
+                for k in keys
+            }
+            folded.append((s0, merged))
+            pending.clear()
 
         def flush_metrics():
             nonlocal mean_loss, n_elem, last_flush
             last_flush = step
-            if not pending:
+            entries = folded + pending
+            if not entries:
                 return
-            fetched = jax.device_get([m for _, m in pending])
-            for (s0, _), m in zip(pending, fetched):
+            # one bulk transfer for the whole buffer (state.py
+            # bulk_device_get): leaf-wise device_get pays one tunnel
+            # round-trip EACH (measured: minutes per segment tail)
+            from ddsp_pytorch_tpu.training.state import bulk_device_get
+
+            fetched = bulk_device_get([m for _, m in entries])
+            _consume_metrics(entries, fetched)
+
+        def _consume_metrics(entries, fetched):
+            nonlocal mean_loss, n_elem
+            for (s0, _), m in zip(entries, fetched):
                 losses = np.atleast_1d(np.asarray(m["loss"], np.float64))
                 skipped = np.atleast_1d(np.asarray(m.get("update_skipped", 0)))
                 for i, loss in enumerate(losses):
@@ -509,6 +584,7 @@ class Trainer:
                         self.metrics.add_scalar("update_skipped", 1, s0 + i)
                     n_elem += 1
                     mean_loss += (float(loss) - mean_loss) / n_elem
+            folded.clear()
             pending.clear()
 
         # Device-resident single-host loaders iterate as INDEX arrays and
@@ -531,9 +607,23 @@ class Trainer:
             )
             step += 1
             pending.append((step, metrics))
+            if len(pending) >= _FOLD:
+                fold_pending()
 
         def run_multi(bs):
             nonlocal state, step
+            if device_indexed and self._multi_step_indexed is not None:
+                # in-scan gather: only the (n_steps, B) indices cross the
+                # dispatch boundary (make_train_multi_step_indexed)
+                state, metrics = self._multi_step_indexed(
+                    state, train_loader.device_data,
+                    jnp.asarray(np.stack(bs), jnp.int32),
+                )
+                step += self._spc
+                pending.append((step - self._spc + 1, metrics))
+                if len(pending) >= _FOLD:
+                    fold_pending()
+                return
             if device_indexed:
                 superbatch = self.place_superbatch(
                     train_loader.take_stacked(np.stack(bs))
@@ -543,6 +633,8 @@ class Trainer:
             state, metrics = self._multi_step(state, superbatch)
             step += self._spc
             pending.append((step - self._spc + 1, metrics))
+            if len(pending) >= _FOLD:
+                fold_pending()
 
         def housekeeping(prev_step) -> bool:
             """Flush/checkpoint/throughput bookkeeping; True = stop now."""
@@ -694,8 +786,31 @@ class Trainer:
                 (step - start_step) / max(window, 1e-9),
                 step,
             )
-        flush_metrics()
-        self.checkpointer.save(state, wait=True)
+        # ONE device→host transfer for the whole tail: through the axon
+        # tunnel the FIRST pull of a process runs at the tunnel's full
+        # rate, and every later transfer in the now-degraded session
+        # crawls (~75-300 KB/s measured — a 70 MB state = 4-16 minutes).
+        # Packing the pending metric vectors AND the train state into one
+        # bulk pull makes the degraded regime start only after everything
+        # is already on the host.
+        if jax.process_count() == 1:
+            from ddsp_pytorch_tpu.training.state import bulk_device_get
+
+            t_tail = time.time()
+            entries = folded + pending
+            pulled = bulk_device_get(
+                {"metrics": [m for _, m in entries], "state": state}
+            )
+            self.metrics.add_scalar("tail_pull_s", time.time() - t_tail,
+                                    step)
+            _consume_metrics(entries, pulled["metrics"])
+            t_save = time.time()
+            self.checkpointer.save(pulled["state"], wait=True)
+            self.metrics.add_scalar("tail_save_s", time.time() - t_save,
+                                    step)
+        else:
+            flush_metrics()
+            self.checkpointer.save(state, wait=True)
         return state
 
     def _run_validation(self, state, val_loader, step: int) -> None:

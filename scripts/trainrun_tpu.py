@@ -209,9 +209,16 @@ def _report(args, root, run_dir, probe, wall_total) -> dict:
         "notes": "steps_per_s_wall divides segment steps by the CHILD "
                  "PROCESS wall-clock (python+jax import, cache upload, "
                  "compile-cache hit, checkpoint restore, training, metric "
-                 "flush, checkpoint save). steps_per_s_train_window is "
-                 "the dispatch-to-drained window inside the process "
-                 "(block_until_ready before any device pull).",
+                 "flush, checkpoint save) — through this container's "
+                 "tunnel this is the HONEST number: round-4 probes proved "
+                 "jax.block_until_ready fake-ACKs on axon (50 queued "
+                 "calls 'ready' in 11 ms each, then the first value pull "
+                 "waited ~0.4 s x 50 — BASELINE.md 'the tunnel lies'), "
+                 "so steps_per_s_train_window (dispatch-rate) is an "
+                 "upper-bound dispatch metric, NOT device throughput. "
+                 "Real per-step cost on this tunnel is ~0.2-0.3 s "
+                 "regardless of program size (per-execution overhead; a "
+                 "locally-attached v5e measures ~1 ms for this step).",
     }
     return report
 

@@ -425,3 +425,46 @@ def test_checkpoint_save_uses_bulk_path_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored.rng),
                                   np.asarray(st.rng))
     assert float(restored.std_loudness) == 1.5
+
+
+def test_indexed_multi_step_matches_superbatch(tmp_path):
+    """The in-scan-gather multi step (make_train_multi_step_indexed — only
+    (n_steps, B) indices cross the dispatch boundary) produces the same
+    per-step losses as the materialized super-batch path (host loader),
+    which itself equals n sequential single steps."""
+    import json
+
+    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cache = os.path.join(tmp_path, "cache")
+    make_synthetic_dataset(cache, n_items=4)
+    base = {
+        "preprocess": {"sample_rate": 16000, "signal_length": 16384,
+                       "block_size": 256, "out_dir": cache},
+        "model": {"name": "single-inst-decoder",
+                  "kwargs": {"hidden_size": 32, "n_harmonic": 4,
+                             "n_bands": 9, "sample_rate": 16000,
+                             "block_size": 256, "has_reverb": False,
+                             "use_pallas": "never"}},
+        "train": {"scales": [512, 256], "batch": 2, "steps": 16,
+                  "steps_per_call": 4, "metrics_flush_steps": 1000000},
+    }
+
+    def run(device_cache):
+        cfg = Config.from_dict(base)
+        dm = Datamodule(cfg, device_cache=device_cache)
+        dm.setup()
+        rd = os.path.join(tmp_path, f"run_{device_cache}")
+        t = Trainer(cfg, rd, use_tensorboard=False)
+        assert (t._multi_step_indexed is not None) == True
+        t.fit(dm)
+        t.close()
+        return [json.loads(l)["value"]
+                for l in open(os.path.join(rd, "metrics.jsonl"))
+                if json.loads(l)["tag"] == "loss"]
+
+    li = run(True)   # device loader -> _multi_step_indexed
+    lh = run(False)  # host loader -> stacked super-batch
+    assert len(li) == len(lh) == 16
+    np.testing.assert_allclose(li, lh, rtol=1e-5)
