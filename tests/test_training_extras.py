@@ -430,16 +430,15 @@ def test_checkpoint_save_uses_bulk_path_roundtrip(tmp_path):
 def test_indexed_multi_step_matches_superbatch(tmp_path):
     """The in-scan-gather multi step (make_train_multi_step_indexed — only
     (n_steps, B) indices cross the dispatch boundary) produces the same
-    per-step losses as the materialized super-batch path (host loader),
-    which itself equals n sequential single steps."""
-    import json
-
-    from ddsp_pytorch_tpu.data import Datamodule, make_synthetic_dataset
+    per-step losses as n sequential single steps from the same init.
+    Exercised directly (no loaders/epochs) so it is order-independent."""
+    from ddsp_pytorch_tpu.data import make_synthetic_dataset
+    from ddsp_pytorch_tpu.data.dataset import Dataset
     from ddsp_pytorch_tpu.training import Trainer
 
     cache = os.path.join(tmp_path, "cache")
     make_synthetic_dataset(cache, n_items=4)
-    base = {
+    cfg = Config.from_dict({
         "preprocess": {"sample_rate": 16000, "signal_length": 16384,
                        "block_size": 256, "out_dir": cache},
         "model": {"name": "single-inst-decoder",
@@ -447,24 +446,40 @@ def test_indexed_multi_step_matches_superbatch(tmp_path):
                              "n_bands": 9, "sample_rate": 16000,
                              "block_size": 256, "has_reverb": False,
                              "use_pallas": "never"}},
-        "train": {"scales": [512, 256], "batch": 2, "steps": 16,
-                  "steps_per_call": 4, "metrics_flush_steps": 1000000},
+        "train": {"scales": [512, 256], "batch": 2, "steps": 12,
+                  "steps_per_call": 4},
+    })
+    trainer = Trainer(cfg, os.path.join(tmp_path, "run"),
+                      use_tensorboard=False)
+    assert trainer._multi_step_indexed is not None
+
+    ds = Dataset(os.path.join(cache, "train"))
+    cache_dev = {
+        "sig": jnp.asarray(np.asarray(ds.signals, np.float32)),
+        "pitch": jnp.asarray(np.asarray(ds.pitchs, np.float32))[..., None],
+        "loudness": jnp.asarray(
+            np.asarray(ds.loudness, np.float32))[..., None],
     }
+    idx = np.asarray([[0, 1], [2, 3], [1, 2], [3, 0],
+                      [2, 0], [1, 3], [0, 3], [2, 1],
+                      [3, 1], [0, 2], [3, 2], [1, 0]], np.int32)
+    batch0 = {k: v[jnp.asarray(idx[0])] for k, v in cache_dev.items()}
 
-    def run(device_cache):
-        cfg = Config.from_dict(base)
-        dm = Datamodule(cfg, device_cache=device_cache)
-        dm.setup()
-        rd = os.path.join(tmp_path, f"run_{device_cache}")
-        t = Trainer(cfg, rd, use_tensorboard=False)
-        assert (t._multi_step_indexed is not None) == True
-        t.fit(dm)
-        t.close()
-        return [json.loads(l)["value"]
-                for l in open(os.path.join(rd, "metrics.jsonl"))
-                if json.loads(l)["tag"] == "loss"]
+    # indexed scan path: 3 calls x 4 steps
+    state = trainer.init_state(batch0)
+    losses_scan = []
+    for c in range(3):
+        state, m = trainer._multi_step_indexed(
+            state, cache_dev, jnp.asarray(idx[c * 4:(c + 1) * 4]))
+        losses_scan.extend(np.asarray(m["loss"]).tolist())
 
-    li = run(True)   # device loader -> _multi_step_indexed
-    lh = run(False)  # host loader -> stacked super-batch
-    assert len(li) == len(lh) == 16
-    np.testing.assert_allclose(li, lh, rtol=1e-5)
+    # sequential single steps from the same init
+    state = trainer.init_state(batch0)
+    losses_single = []
+    for r in idx:
+        state, m = trainer._train_step(
+            state, {k: v[jnp.asarray(r)] for k, v in cache_dev.items()})
+        losses_single.append(float(m["loss"]))
+
+    assert len(losses_scan) == len(losses_single) == 12
+    np.testing.assert_allclose(losses_scan, losses_single, rtol=2e-5)
