@@ -43,6 +43,16 @@ def main():
     x_realtime = run_benchmark(
         config=config, n_run=20, batch=1, protocol_runs=8, discard_first=True
     )["x_realtime"]
+    # Honest (pull-verified) figure alongside the dispatch rate: on this
+    # container's tunnel jax.block_until_ready fake-ACKs (BASELINE.md 'the
+    # tunnel lies'), so the blocked-timing metric above is a DISPATCH-rate
+    # upper bound kept for round-over-round comparability.  value_pull
+    # times each call through np.asarray(out) (the tunnel_truth_probe.py
+    # protocol): real execution + the device→host transfer of the ~1 s
+    # audio block.  On a locally-attached chip the two numbers converge.
+    honest = run_benchmark(
+        config=config, n_run=6, batch=1, protocol_runs=2, value_pull=True
+    )
     print(
         json.dumps(
             {
@@ -50,6 +60,10 @@ def main():
                 "value": round(x_realtime, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(x_realtime / BASELINE_X_REALTIME, 3),
+                "dispatch_rate_note": "blocked timing fake-ACKs on this "
+                "tunnel; see honest_* fields",
+                "honest_x_realtime": round(honest["x_realtime"], 2),
+                "value_pull_ms_per_call": round(honest["mean_ms"], 1),
             }
         )
     )

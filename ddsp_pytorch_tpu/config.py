@@ -61,8 +61,14 @@ class PreprocessConfig:
     # a from-scratch-trainable CREPE-architecture convnet, models/crepe.py).
     pitch_fmin: float = 50.0
     pitch_fmax: float = 2000.0
-    pitch_tracker: str = "yin"  # "yin" | "crepe"
-    crepe_params: Optional[str] = None  # scripts/train_crepe.py bundle
+    # "hybrid" (default: CREPE×YIN joint Viterbi, ≥ either parent on all
+    # nine robustness rows — pretrained/pitch_robustness.json) | "yin"
+    # (classical, no learned weights) | "crepe" (neural alone).
+    pitch_tracker: str = "hybrid"
+    # scripts/train_crepe.py bundle; None → the shipped
+    # pretrained/crepe_tiny.msgpack (resolved by data/preprocess.py
+    # make_pitch_fn).  Only consulted for the crepe/hybrid trackers.
+    crepe_params: Optional[str] = None
     crepe_capacity: str = "tiny"
 
 
@@ -123,6 +129,14 @@ class TrainConfig:
     # round-trip; results are bit-identical to N single steps (the scan body
     # IS the single-step function).  1 = reference behavior.
     steps_per_call: int = 1
+    # Unroll factor for the steps_per_call lax.scan: U step bodies per
+    # while-loop iteration (must divide steps_per_call).  On a locally
+    # attached chip this is a latency micro-knob; through the axon tunnel
+    # the round-5 ceiling probe (scripts/ceiling_probe.py) measures whether
+    # the container's ~0.2-0.3 s per-iteration overhead is charged per
+    # while-loop iteration (unroll helps ~U×) or per optimizer step (it
+    # does not).  1 = plain scan.
+    scan_unroll: int = 1
 
 
 @dataclass

@@ -98,28 +98,45 @@ def preprocess(
     )
 
 
+def default_crepe_params() -> str | None:
+    """Path of the shipped CREPE bundle (pretrained/crepe_tiny.msgpack),
+    or None when not present (e.g. an installed package without the
+    pretrained/ tree)."""
+    shipped = (
+        pathlib.Path(__file__).resolve().parents[2]
+        / "pretrained"
+        / "crepe_tiny.msgpack"
+    )
+    return str(shipped) if shipped.exists() else None
+
+
 def make_pitch_fn(config: Config):
     """Pitch-tracker factory from config.preprocess.pitch_tracker.
 
-    "yin" (default) → None (preprocess uses ops/pitch.py);
-    "crepe" → the trained CREPE-architecture model (models/crepe.py), loaded
-    from preprocess.crepe_params (saved by scripts/train_crepe.py);
-    "hybrid" (recommended — docs/usage.md) → the CREPE×YIN fused decode
+    "hybrid" (the default) → the CREPE×YIN fused decode
     (models/crepe.py:extract_pitch_hybrid), ≥ either tracker alone across
-    the robustness conditions (pretrained/pitch_robustness.json).
+    the robustness conditions (pretrained/pitch_robustness.json);
+    "yin" → None (preprocess uses ops/pitch.py — classical, no weights);
+    "crepe" → the trained CREPE-architecture model (models/crepe.py) alone.
+
+    crepe/hybrid load preprocess.crepe_params (saved by
+    scripts/train_crepe.py); when unset, the shipped
+    pretrained/crepe_tiny.msgpack bundle is used.
     """
     pc = config.preprocess
-    tracker = getattr(pc, "pitch_tracker", "yin")
+    tracker = getattr(pc, "pitch_tracker", "hybrid")
     if tracker == "yin":
         return None
     if tracker not in ("crepe", "hybrid"):
         raise ValueError(
-            f"unknown pitch_tracker: {tracker!r} (yin|crepe|hybrid)"
+            f"unknown pitch_tracker: {tracker!r} (hybrid|yin|crepe)"
         )
-    if not pc.crepe_params:
+    crepe_params = pc.crepe_params or default_crepe_params()
+    if not crepe_params:
         raise ValueError(
             f"pitch_tracker: {tracker} needs preprocess.crepe_params "
-            "(train one with scripts/train_crepe.py)"
+            "(train one with scripts/train_crepe.py) — the shipped "
+            "pretrained/crepe_tiny.msgpack was not found"
         )
     from flax import serialization
 
@@ -128,7 +145,7 @@ def make_pitch_fn(config: Config):
         extract_pitch_hybrid,
     )
 
-    with open(pc.crepe_params, "rb") as fh:
+    with open(crepe_params, "rb") as fh:
         bundle = serialization.msgpack_restore(bytearray(fh.read()))
 
     extract = (extract_pitch_hybrid if tracker == "hybrid"

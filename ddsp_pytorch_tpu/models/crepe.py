@@ -327,6 +327,8 @@ def extract_pitch_hybrid(
     switch_per_octave: float = 10.0,
     salience_floor: float = 0.03,
     confidence_gate: float = 2.0,
+    yin_conf_gate: float = 0.0,
+    yin_conf_ref: float = 0.3,
     fmin: float = 32.0,
     fmax: float = 2100.0,
 ):
@@ -362,7 +364,9 @@ def extract_pitch_hybrid(
                       crepe_weight=crepe_weight,
                       switch_per_octave=switch_per_octave,
                       salience_floor=salience_floor,
-                      confidence_gate=confidence_gate)
+                      confidence_gate=confidence_gate,
+                      yin_conf_gate=yin_conf_gate,
+                      yin_conf_ref=yin_conf_ref)
     return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
 
 
@@ -404,6 +408,10 @@ def hybrid_evidence(
     # ...and onto the CREPE frame times (time axis).  YIN frame j sits at
     # j·block/sr seconds; CREPE frame i at i·hop/16000.
     pos = (np.arange(n16) * hop / MODEL_SRATE) * sample_rate / block_size
+    # clamp to the YIN frame range BEFORE the floor/frac split: CREPE
+    # frames past the last YIN frame must clamp to it, not linearly
+    # extrapolate the CMNDF (tfrac > 1 off the end of the grid)
+    pos = np.clip(pos, 0.0, d.shape[0] - 1)
     t0 = np.clip(np.floor(pos).astype(np.int32), 0, d.shape[0] - 2)
     tfrac = jnp.asarray((pos - t0).astype(np.float32))[:, None]
     t0 = jnp.asarray(t0)
@@ -419,6 +427,8 @@ def decode_fused(
     switch_per_octave: float = 3.0,
     salience_floor: float = 1e-6,
     confidence_gate: float = 0.0,
+    yin_conf_gate: float = 0.0,
+    yin_conf_ref: float = 0.3,
 ):
     """Fused evidence → (F16,) f0 in Hz (Viterbi + local-average refine).
 
@@ -428,6 +438,14 @@ def decode_fused(
     confidence_gate: scale each frame's CREPE cost by its peak salience
     raised to this power (0 = off), so frames where the net is unconfident
     defer to YIN; bool True is accepted as 1.0.
+    yin_conf_gate: per-frame YIN-confidence gate — scale the CREPE cost by
+    clip(min_f d'(f) / yin_conf_ref, 0, 1)^yin_conf_gate (0 = off).  A deep
+    CMNDF dip (min d' ≪ yin_conf_ref: unambiguous periodicity, e.g. a
+    clean-ish note under broadband noise where the net mis-ranks bins)
+    hands the frame to the YIN evidence; a shallow-dip frame (noise, no
+    periodicity) keeps CREPE's full vote.  The round-5 fix for the one
+    robustness row where the fusion trailed YIN (+10 dB pink,
+    pretrained/pitch_robustness.json).
     """
     from ddsp_pytorch_tpu.ops.pitch import _viterbi
 
@@ -436,6 +454,12 @@ def decode_fused(
     if gate_pow > 0.0:
         conf = salience.max(axis=-1, keepdims=True)
         crepe_cost = crepe_cost * conf ** gate_pow
+    yin_gate_pow = float(yin_conf_gate)
+    if yin_gate_pow > 0.0:
+        d_min = d_16.min(axis=-1, keepdims=True)
+        crepe_cost = crepe_cost * (
+            jnp.clip(d_min / yin_conf_ref, 0.0, 1.0) ** yin_gate_pow
+        )
     cost = crepe_weight * crepe_cost + yin_weight * d_16
 
     bins_per_octave = 1200.0 / CENTS_PER_BIN

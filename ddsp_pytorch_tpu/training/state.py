@@ -88,6 +88,16 @@ def bulk_device_get(tree):
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
+def _all_leaves_single_device(tree) -> bool:
+    """True when every jax.Array leaf lives wholly on one device (i.e. the
+    state is unsharded — replicated-on-one-chip or host arrays)."""
+    return all(
+        len(x.sharding.device_set) == 1
+        for x in jax.tree_util.tree_leaves(tree)
+        if isinstance(x, jax.Array)
+    )
+
+
 @struct.dataclass
 class TrainState:
     """Everything needed to resume training exactly."""
@@ -156,9 +166,15 @@ class Checkpointer:
 
     # ------------------------------------------------------------- full state
     def save(self, state: TrainState, wait: bool = False) -> None:
-        if jax.process_count() == 1:
+        if jax.process_count() == 1 and _all_leaves_single_device(state):
             # one bulk pull instead of Orbax's per-leaf transfers — see
-            # bulk_device_get (tunnel-attached chips: 10-40× faster tail)
+            # bulk_device_get (tunnel-attached chips: 10-40× faster tail).
+            # Restricted to unsharded states: for a single-process
+            # multi-device pjit mesh the jitted pack would implicitly
+            # all-gather sharded leaves onto one device (an OOM risk for
+            # large states) and persist host numpy instead of the sharded
+            # arrays — those states take the plain (sharding-aware) Orbax
+            # path.
             state = bulk_device_get(state)
         step = int(state.step)
         self.manager.save(step, args=self._ocp.args.StandardSave(state))

@@ -134,7 +134,9 @@ def make_train_step(
     return train_step
 
 
-def make_train_multi_step(train_step: Callable, n_steps: int) -> Callable:
+def make_train_multi_step(
+    train_step: Callable, n_steps: int, unroll: int = 1
+) -> Callable:
     """Run `n_steps` optimizer steps in ONE compiled call via lax.scan.
 
     `batches` is the per-step batch pytree with an extra leading axis of
@@ -155,12 +157,14 @@ def make_train_multi_step(train_step: Callable, n_steps: int) -> Callable:
             f"super-batch has a leading axis of {lead}, expected "
             f"steps_per_call={n_steps}"
         )
-        return jax.lax.scan(train_step, state, batches)
+        return jax.lax.scan(train_step, state, batches, unroll=unroll)
 
     return multi_step
 
 
-def make_train_multi_step_indexed(train_step: Callable, n_steps: int):
+def make_train_multi_step_indexed(
+    train_step: Callable, n_steps: int, unroll: int = 1
+):
     """`n_steps` optimizer steps in ONE compiled call, gathering each
     step's batch from the device-resident dataset cache INSIDE the scan.
 
@@ -186,7 +190,7 @@ def make_train_multi_step_indexed(train_step: Callable, n_steps: int):
             batch = jax.tree.map(lambda a: a[idx], cache)
             return train_step(st, batch)
 
-        return jax.lax.scan(body, state, idx2d)
+        return jax.lax.scan(body, state, idx2d, unroll=unroll)
 
     return multi_step
 
@@ -255,6 +259,12 @@ class Trainer:
 
         eval_step = make_eval_step(self.model, config)
         self._spc = max(1, config.train.steps_per_call)
+        self._unroll = max(1, config.train.scan_unroll)
+        if self._spc % self._unroll:
+            raise ValueError(
+                f"train.scan_unroll={self._unroll} must divide "
+                f"train.steps_per_call={self._spc}"
+            )
         self._time_sharded = (
             mesh is not None and mesh.shape.get("time", 1) > 1
         )
@@ -279,7 +289,7 @@ class Trainer:
             self._train_step = shard_time_train_step(train_step, mesh)
             self._multi_step = (
                 shard_time_train_multi_step(
-                    make_train_multi_step(train_step, self._spc), mesh
+                    make_train_multi_step(train_step, self._spc, self._unroll), mesh
                 )
                 if self._spc > 1
                 else None
@@ -295,7 +305,7 @@ class Trainer:
             self._train_step = shard_train_step(train_step, mesh)
             self._multi_step = (
                 shard_train_multi_step(
-                    make_train_multi_step(train_step, self._spc), mesh
+                    make_train_multi_step(train_step, self._spc, self._unroll), mesh
                 )
                 if self._spc > 1
                 else None
@@ -304,21 +314,21 @@ class Trainer:
         else:
             train_step = make_train_step(self.model, self.tx, config)
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
-            self._multi_step = (
-                jax.jit(
-                    make_train_multi_step(train_step, self._spc),
-                    donate_argnums=(0,),
-                )
-                if self._spc > 1
-                else None
+            # Built for spc == 1 as well: with a device-resident cache the
+            # indexed scan-of-1 fuses the batch gather INTO the step — one
+            # executed program per optimizer step instead of two (take +
+            # step), which through the axon tunnel's ~0.2 s/program
+            # overhead halves the honest per-step cost (round-5 ceiling
+            # probe).  Bit-identical to the single-step path.
+            self._multi_step = jax.jit(
+                make_train_multi_step(train_step, self._spc, self._unroll),
+                donate_argnums=(0,),
             )
-            self._multi_step_indexed = (
-                jax.jit(
-                    make_train_multi_step_indexed(train_step, self._spc),
-                    donate_argnums=(0,),
-                )
-                if self._spc > 1
-                else None
+            self._multi_step_indexed = jax.jit(
+                make_train_multi_step_indexed(
+                    train_step, self._spc, self._unroll
+                ),
+                donate_argnums=(0,),
             )
             self._eval_step = jax.jit(eval_step)
 
@@ -567,10 +577,16 @@ class Trainer:
                 return
             # one bulk transfer for the whole buffer (state.py
             # bulk_device_get): leaf-wise device_get pays one tunnel
-            # round-trip EACH (measured: minutes per segment tail)
-            from ddsp_pytorch_tpu.training.state import bulk_device_get
+            # round-trip EACH (measured: minutes per segment tail).
+            # Multi-process runs use plain device_get — bulk_device_get's
+            # jitted pack is single-process-only (state.py:39), and
+            # per-step metrics are small and fully replicated there.
+            if jax.process_count() == 1:
+                from ddsp_pytorch_tpu.training.state import bulk_device_get
 
-            fetched = bulk_device_get([m for _, m in entries])
+                fetched = bulk_device_get([m for _, m in entries])
+            else:
+                fetched = jax.device_get([m for _, m in entries])
             _consume_metrics(entries, fetched)
 
         def _consume_metrics(entries, fetched):

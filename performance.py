@@ -19,6 +19,7 @@ import time
 def run_benchmark(
     bundle=None, n_run: int = 10, batch: int = 1, use_pallas="auto",
     config=None, protocol_runs: int = 1, discard_first: bool = False,
+    value_pull: bool = False,
 ):
     """Benchmark a bundle, a given Config's model (random weights), or the
     default Config.  bench.py delegates here with its north-star config so
@@ -27,7 +28,13 @@ def run_benchmark(
     protocol_runs > 1 repeats the timed protocol (mean of n_run blocked
     calls) on the SAME compiled synth and reports the best mean — one
     model build + compile total.  discard_first additionally throws away
-    the first protocol run (tunnel transients right after compile)."""
+    the first protocol run (tunnel transients right after compile).
+
+    value_pull=True times each call INCLUDING a device→host pull of its
+    output (np.asarray, the scripts/tunnel_truth_probe.py protocol): on
+    this container's axon tunnel jax.block_until_ready fake-ACKs
+    (BASELINE.md 'the tunnel lies'), so only a pull-verified timing is
+    real end-to-end throughput; blocked timing is a dispatch rate."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -86,9 +93,15 @@ def run_benchmark(
         for i in range(n_run):
             st = time.perf_counter()
             out = synth.step(f0, lo)
-            jax.block_until_ready(out)
+            if value_pull:
+                np.asarray(out)  # forces REAL completion (+ transfer)
+            else:
+                jax.block_until_ready(out)
             mean += (time.perf_counter() - st - mean) / (i + 1)
         return mean
+
+    if value_pull:
+        np.asarray(synth.step(f0, lo))  # drain any queued fake-ACKed work
 
     if discard_first:
         protocol_mean()

@@ -43,8 +43,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_VALUE_PULL = False  # set by --value-pull: sync each rep with a value pull
+
+
 def _timed_loop(body, iters, reps=5):
-    """Chained-scan device time per iteration (seconds)."""
+    """Chained-scan device time per iteration (seconds).
+
+    With --value-pull each rep is synchronized by pulling the scan's
+    carry scalar (float(c)) instead of block_until_ready — the only
+    truthful sync on this container's tunnel, where block_until_ready
+    fake-ACKs (BASELINE.md 'the tunnel lies').  The pull is 4 bytes, so
+    the added transfer time is negligible; what it adds is the WAIT for
+    real execution."""
     import jax
     import jax.numpy as jnp
 
@@ -53,11 +63,17 @@ def _timed_loop(body, iters, reps=5):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
-    jax.block_until_ready(loop())  # compile + warm
+    if _VALUE_PULL:
+        float(loop())  # compile + warm + drain any queued work
+    else:
+        jax.block_until_ready(loop())  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop())
+        if _VALUE_PULL:
+            float(loop())
+        else:
+            jax.block_until_ready(loop())
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -288,11 +304,20 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batches", default="16,128")
     p.add_argument("--platform", default=None)
+    p.add_argument(
+        "--value-pull", action="store_true",
+        help="sync each timed rep with a 4-byte value pull instead of "
+        "block_until_ready — the honest protocol on the axon tunnel "
+        "(BASELINE.md 'the tunnel lies')",
+    )
     args = p.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.value_pull:
+        global _VALUE_PULL
+        _VALUE_PULL = True
 
     import jax
 
@@ -302,6 +327,8 @@ def main():
                 "step + same-chip microbench ceilings",
         "platform": {"platform": dev.platform,
                      "device_kind": getattr(dev, "device_kind", "?")},
+        "sync": "value-pull (honest)" if args.value_pull
+                else "block_until_ready (dispatch rate on the tunnel)",
         "protocol": "chained-value lax.scan under one jit "
                     "(scripts/bench_roofline.py), best of 5 loops",
         "ceilings": measure_ceilings(),

@@ -36,9 +36,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _write_config(root: str, steps: int, steps_per_call: int) -> str:
+def _write_config(
+    root: str, steps: int, steps_per_call: int, unroll: int = 1,
+    pitch_tracker: str = "hybrid",
+) -> str:
     """The reference workload (config.yaml:5-28) + the pull-free-segment
-    train knobs (flush/checkpoint/val/log deferred to segment tails)."""
+    train knobs (flush/checkpoint/val/log deferred to segment tails).
+    Round 5: preprocessing runs the shipped DEFAULT tracker (hybrid =
+    CREPE×YIN fusion) so the flagship artifact exercises the default
+    pipeline end-to-end."""
     cfg = {
         "data": {"data_location": os.path.join(root, "corpus")},
         "preprocess": {
@@ -46,6 +52,7 @@ def _write_config(root: str, steps: int, steps_per_call: int) -> str:
             "signal_length": 192000,
             "block_size": 512,
             "out_dir": os.path.join(root, "cache"),
+            "pitch_tracker": pitch_tracker,
         },
         "model": {
             "name": "single-inst-decoder",
@@ -65,6 +72,7 @@ def _write_config(root: str, steps: int, steps_per_call: int) -> str:
             "lr": 1.0e-3,
             "steps": steps,
             "steps_per_call": steps_per_call,
+            "scan_unroll": unroll,
             # pull-free segments: metrics flush + checkpoint only at the
             # segment tail; no mid-run validation/media (each would pull
             # device data and poison the process — BASELINE.md)
@@ -187,7 +195,10 @@ def _report(args, root, run_dir, probe, wall_total) -> dict:
         "platform": probe,
         "total_steps": n_steps,
         "target_steps": args.steps,
-        "segment_steps": args.segment_steps,
+        "segment_steps": (args.segment_schedule or args.segment_steps),
+        "steps_per_call": args.steps_per_call,
+        "scan_unroll": args.unroll,
+        "pitch_tracker": args.pitch_tracker,
         "n_train_segments": len(train_segs),
         "wall_clock_total_s": round(wall_total, 1),
         "wall_clock_train_segments_s": round(train_wall, 1),
@@ -227,16 +238,26 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=500000)
     p.add_argument("--segment-steps", type=int, default=50000)
+    p.add_argument(
+        "--segment-schedule", default=None, metavar="N1,N2,...",
+        help="per-segment sizes (overrides --segment-steps; last size "
+        "repeats) — the round-5 escalating segment-size search",
+    )
     p.add_argument("--steps-per-call", type=int, default=50)
+    p.add_argument("--unroll", type=int, default=1,
+                   help="train.scan_unroll (see CEILING_r05.json)")
+    p.add_argument("--pitch-tracker", default="hybrid",
+                   choices=("hybrid", "yin", "crepe"))
     p.add_argument("--n-train", type=int, default=24)
     p.add_argument("--n-validation", type=int, default=4)
-    p.add_argument("--root", default="/tmp/ddsp_trainrun")
-    p.add_argument("--out", default=os.path.join(REPO, "TRAINRUN_r04.json"))
+    p.add_argument("--root", default="/tmp/ddsp_trainrun_r05")
+    p.add_argument("--out", default=os.path.join(REPO, "TRAINRUN_r05.json"))
     p.add_argument("--skip-validate", action="store_true")
     args = p.parse_args()
 
     os.makedirs(args.root, exist_ok=True)
-    cfg_path = _write_config(args.root, args.steps, args.steps_per_call)
+    cfg_path = _write_config(args.root, args.steps, args.steps_per_call,
+                             args.unroll, args.pitch_tracker)
     run_dir = os.path.join(args.root, "runs", "trainrun")
 
     t0 = time.time()
@@ -247,11 +268,15 @@ def main():
     print(f"[trainrun] platform: {probe}", flush=True)
 
     print("[trainrun] segmented training ...", flush=True)
+    seg_args = (
+        ["--segment-schedule", args.segment_schedule]
+        if args.segment_schedule
+        else ["--segment-steps", str(args.segment_steps)]
+    )
     subprocess.run(
         [sys.executable, os.path.join(REPO, "train.py"),
          "--config", cfg_path, "--root", os.path.join(args.root, "runs"),
-         "--name", "trainrun", "--device-cache",
-         "--segment-steps", str(args.segment_steps)],
+         "--name", "trainrun", "--device-cache", *seg_args],
         check=True,
     )
 

@@ -148,13 +148,19 @@ def main():
     if args.combos:
         combos = [(label, kw) for label, kw in json.loads(args.combos)]
     else:
+        # The default grid CONTAINS the shipped extract_pitch_hybrid
+        # defaults (yin_weight=8, switch_per_octave=10, floor=0.03,
+        # gate=2.0) so the selection is reproducible from this script
+        # alone (round-4 advisor finding: the earlier grid could not
+        # produce the shipped combination).
         combos = [
-            (f"y{w}_f{fl}_g{int(g)}",
-             dict(yin_weight=w, switch_per_octave=3.0, salience_floor=fl,
+            (f"y{w}_s{sw}_f{fl}_g{g}",
+             dict(yin_weight=w, switch_per_octave=sw, salience_floor=fl,
                   confidence_gate=g))
             for w in (4.0, 8.0, 16.0)
-            for fl in (1e-6, 1e-3, 1e-2)
-            for g in (False, True)
+            for sw in (3.0, 10.0)
+            for fl in (1e-6, 1e-2, 0.03)
+            for g in (0.0, 1.0, 2.0)
         ]
     table = sweep(args.cache, args.sample_rate, args.block_size, combos)
     with open(args.out, "w") as f:

@@ -269,3 +269,22 @@ def test_resampler_matches_direct_zero_stuffed_convolution():
         got = np.asarray(resample_to_model_rate(jnp.asarray(x), sr))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_default_tracker_is_hybrid_and_resolves_shipped_bundle():
+    """Round-5 default flip (VERDICT r4 #2): the default config's pitch
+    tracker is the CREPE×YIN fusion, and make_pitch_fn resolves the
+    SHIPPED pretrained/crepe_tiny.msgpack when crepe_params is unset."""
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data.preprocess import (
+        default_crepe_params,
+        make_pitch_fn,
+    )
+
+    cfg = Config()
+    assert cfg.preprocess.pitch_tracker == "hybrid"
+    assert cfg.preprocess.crepe_params is None
+    shipped = default_crepe_params()
+    assert shipped is not None and shipped.endswith("crepe_tiny.msgpack")
+    fn = make_pitch_fn(cfg)  # must load the shipped bundle, not raise
+    assert fn is not None

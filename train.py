@@ -86,9 +86,20 @@ def main():
         "pays the poisoning only for its own tail.  Locally-attached "
         "chips don't need this.",
     )
+    p.add_argument(
+        "--segment-schedule",
+        default=None,
+        metavar="N1,N2,...",
+        help="like --segment-steps but with per-segment sizes (comma "
+        "list; the last size repeats until train.steps).  Doubles as the "
+        "round-5 segment-size ceiling search: each segment is one fresh "
+        "process whose wall-clock lands in segments.jsonl, so an "
+        "escalating schedule measures steps/s vs segment size while the "
+        "run trains (CEILING_r05.json / BASELINE.md).",
+    )
     args = p.parse_args()
 
-    if args.segment_steps is not None:
+    if args.segment_steps is not None or args.segment_schedule is not None:
         return _run_segmented(args)
 
     import jax
@@ -177,22 +188,33 @@ def _run_segmented(args) -> None:
     config = Config.from_yaml(args.config)
     config.apply_overrides(args.overrides)
     total = args.steps if args.steps is not None else config.train.steps
-    seg = args.segment_steps
-    if seg <= 0:
-        sys.exit(f"--segment-steps must be positive, got {seg}")
+    if args.segment_schedule is not None:
+        schedule = [int(s) for s in args.segment_schedule.split(",") if s]
+        if not schedule or any(s <= 0 for s in schedule):
+            sys.exit(
+                f"--segment-schedule needs positive sizes, got "
+                f"{args.segment_schedule!r}"
+            )
+    else:
+        seg = args.segment_steps
+        if seg <= 0:
+            sys.exit(f"--segment-steps must be positive, got {seg}")
+        schedule = [seg]
     base = [a for a in sys.argv[1:]]
-    # strip --segment-steps (and its value) and any --steps override; each
-    # child gets its own --steps boundary
+    # strip the segmentation args and any --steps override; each child
+    # gets its own --steps boundary
     cleaned = []
     skip = 0
     for a in base:
         if skip:
             skip -= 1
             continue
-        if a in ("--segment-steps", "--steps"):
+        if a in ("--segment-steps", "--segment-schedule", "--steps"):
             skip = 1
             continue
-        if a.startswith("--segment-steps=") or a.startswith("--steps="):
+        if a.startswith(
+            ("--segment-steps=", "--segment-schedule=", "--steps=")
+        ):
             continue
         cleaned.append(a)
 
@@ -218,9 +240,12 @@ def _run_segmented(args) -> None:
 
     child(0, "prime-stats")
     boundary = 0
+    i = 0
     while boundary < total:
+        seg = schedule[min(i, len(schedule) - 1)]
         boundary = min(boundary + seg, total)
         child(boundary, "train")
+        i += 1
 
 
 if __name__ == "__main__":
