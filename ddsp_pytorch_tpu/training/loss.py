@@ -39,6 +39,15 @@ def spectral_loss_from_signals(
     """Compute both multiscale STFTs and the loss; returns
     (loss, ori_stft, rec_stft) so drivers can log the spectrograms
     (reference train.py:92-103 keeps both for the reconstruction report)."""
+    if target.shape[-1] != reconstruction.shape[-1]:
+        # e.g. a batch whose sig length is not frames*block_size: the
+        # model renders frames*block_size samples, so the two STFTs would
+        # fail deep inside XLA with an opaque broadcast error
+        raise ValueError(
+            f"target length {target.shape[-1]} != reconstruction length "
+            f"{reconstruction.shape[-1]} — sig must be exactly "
+            "n_frames * block_size samples"
+        )
     target = target.astype(jnp.float32)
     reconstruction = reconstruction.astype(jnp.float32)
     ori = multiscale_fft(target, scales, overlap)
