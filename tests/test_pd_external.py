@@ -87,3 +87,20 @@ def test_external_renders_autoencoder_bundle():
     assert r.returncode == 0, r.stdout + r.stderr
     assert "pd_mock_test ok (bundle" in r.stdout
     assert "autoencoder: audio inlet 3 active" in r.stdout
+
+
+@pytest.mark.slow
+def test_external_renders_full_pipeline_ae_bundle():
+    """The FULL-pipeline autoencoder bundle (wav → hybrid pitch → train →
+    export, scripts/train_oof.py --model autoencoder) renders through the
+    external — round-5 VERDICT #3: the real-pipeline AE artifact exercised
+    in the native runtime, not just the synthetic-cache one."""
+    bundle = os.path.join(
+        os.path.dirname(__file__), "..", "pretrained", "ddsp_oof_ae_bundle"
+    )
+    if not os.path.isdir(bundle):
+        pytest.skip("pretrained oof_ae bundle not present")
+    r = _run(bundle)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "pd_mock_test ok (bundle" in r.stdout
+    assert "autoencoder: audio inlet 3 active" in r.stdout
