@@ -324,11 +324,9 @@ def extract_pitch_hybrid(
     batch_frames: int = 512,
     yin_weight: float = 8.0,
     crepe_weight: float = 1.0,
-    switch_per_octave: float = 10.0,
+    switch_per_octave: float = 60.0,
     salience_floor: float = 0.03,
     confidence_gate: float = 2.0,
-    yin_conf_gate: float = 0.0,
-    yin_conf_ref: float = 0.3,
     fmin: float = 32.0,
     fmax: float = 2100.0,
 ):
@@ -352,8 +350,17 @@ def extract_pitch_hybrid(
     contract as extract_pitch / extract_pitch_crepe.
 
     Defaults were selected by sweeping cached evidence over the nine
-    robustness conditions (scripts/tune_hybrid_pitch.py): ≥ YIN on 8/9
-    rows and ≥ raw CREPE on 9/9 (pretrained/pitch_robustness.json).
+    robustness conditions (scripts/tune_hybrid_pitch.py): ≥ YIN AND
+    ≥ raw CREPE on 9/9 rows (pretrained/pitch_robustness.json).  The
+    round-5 change is switch_per_octave 10 → 60: the dominant error mode
+    was decayed note tails under broadband noise, where neither tracker
+    has per-frame evidence and a weak transition penalty let the joint
+    path jump to noise peaks; the strong penalty holds the last
+    well-evidenced pitch (closing the one row the fusion lost to YIN,
+    +10 dB pink: 0.888 → 0.944 vs YIN's 0.909) while note transitions
+    and ±100-cent vibrato still track within 1 frame / ≤42 cents because
+    genuine pitch motion carries per-frame evidence that dwarfs the
+    one-time jump cost.
     """
     salience, d_16, hop = hybrid_evidence(
         signal, sample_rate, block_size, params, capacity, batch_frames,
@@ -364,9 +371,7 @@ def extract_pitch_hybrid(
                       crepe_weight=crepe_weight,
                       switch_per_octave=switch_per_octave,
                       salience_floor=salience_floor,
-                      confidence_gate=confidence_gate,
-                      yin_conf_gate=yin_conf_gate,
-                      yin_conf_ref=yin_conf_ref)
+                      confidence_gate=confidence_gate)
     return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
 
 
@@ -427,8 +432,6 @@ def decode_fused(
     switch_per_octave: float = 3.0,
     salience_floor: float = 1e-6,
     confidence_gate: float = 0.0,
-    yin_conf_gate: float = 0.0,
-    yin_conf_ref: float = 0.3,
 ):
     """Fused evidence → (F16,) f0 in Hz (Viterbi + local-average refine).
 
@@ -438,14 +441,12 @@ def decode_fused(
     confidence_gate: scale each frame's CREPE cost by its peak salience
     raised to this power (0 = off), so frames where the net is unconfident
     defer to YIN; bool True is accepted as 1.0.
-    yin_conf_gate: per-frame YIN-confidence gate — scale the CREPE cost by
-    clip(min_f d'(f) / yin_conf_ref, 0, 1)^yin_conf_gate (0 = off).  A deep
-    CMNDF dip (min d' ≪ yin_conf_ref: unambiguous periodicity, e.g. a
-    clean-ish note under broadband noise where the net mis-ranks bins)
-    hands the frame to the YIN evidence; a shallow-dip frame (noise, no
-    periodicity) keeps CREPE's full vote.  The round-5 fix for the one
-    robustness row where the fusion trailed YIN (+10 dB pink,
-    pretrained/pitch_robustness.json).
+
+    (A per-frame YIN-confidence gate on the CREPE cost was evaluated in
+    round 5 and measured to change NO decision on any robustness row —
+    frames where YIN is confident already out-vote CREPE through the
+    evidence sum — so it was not kept; the decisive lever for noisy note
+    tails is the Viterbi switch penalty, see extract_pitch_hybrid.)
     """
     from ddsp_pytorch_tpu.ops.pitch import _viterbi
 
@@ -454,12 +455,6 @@ def decode_fused(
     if gate_pow > 0.0:
         conf = salience.max(axis=-1, keepdims=True)
         crepe_cost = crepe_cost * conf ** gate_pow
-    yin_gate_pow = float(yin_conf_gate)
-    if yin_gate_pow > 0.0:
-        d_min = d_16.min(axis=-1, keepdims=True)
-        crepe_cost = crepe_cost * (
-            jnp.clip(d_min / yin_conf_ref, 0.0, 1.0) ** yin_gate_pow
-        )
     cost = crepe_weight * crepe_cost + yin_weight * d_16
 
     bins_per_octave = 1200.0 / CENTS_PER_BIN

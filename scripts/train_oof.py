@@ -52,6 +52,12 @@ def main():
              "(models/crepe.py, the recommended robust path)",
     )
     p.add_argument("--crepe-params", default="pretrained/crepe_tiny.msgpack")
+    p.add_argument("--flush-steps", type=int, default=20,
+                   help="train.metrics_flush_steps — each flush is a "
+                   "device sync; raise it on tunnel-attached chips")
+    p.add_argument("--checkpoint-every", type=int, default=2000)
+    p.add_argument("--val-interval-epochs", type=int, default=500)
+    p.add_argument("--log-interval-epochs", type=int, default=200)
     p.add_argument(
         "--degrade", default=None, metavar="CONDITION",
         help="degrade the corpus through fixtures.DEGRADATIONS[CONDITION] "
@@ -134,9 +140,10 @@ def main():
                 "lr": 1e-3,
                 "steps": args.steps,
                 "steps_per_call": args.steps_per_call,
-                "checkpoint_every_steps": 2000,
-                "val_interval_epochs": 500,
-                "log_interval_epochs": 200,
+                "metrics_flush_steps": args.flush_steps,
+                "checkpoint_every_steps": args.checkpoint_every,
+                "val_interval_epochs": args.val_interval_epochs,
+                "log_interval_epochs": args.log_interval_epochs,
             },
         }
     )

@@ -149,18 +149,21 @@ def main():
         combos = [(label, kw) for label, kw in json.loads(args.combos)]
     else:
         # The default grid CONTAINS the shipped extract_pitch_hybrid
-        # defaults (yin_weight=8, switch_per_octave=10, floor=0.03,
+        # defaults (yin_weight=8, switch_per_octave=60, floor=0.03,
         # gate=2.0) so the selection is reproducible from this script
         # alone (round-4 advisor finding: the earlier grid could not
-        # produce the shipped combination).
+        # produce the shipped combination).  The switch_per_octave axis
+        # spans the round-5 finding that a strong transition penalty is
+        # the decisive lever for noisy note tails (10 → 60: snr10 row
+        # 0.888 → 0.944).
         combos = [
             (f"y{w}_s{sw}_f{fl}_g{g}",
              dict(yin_weight=w, switch_per_octave=sw, salience_floor=fl,
                   confidence_gate=g))
             for w in (4.0, 8.0, 16.0)
-            for sw in (3.0, 10.0)
-            for fl in (1e-6, 1e-2, 0.03)
-            for g in (0.0, 1.0, 2.0)
+            for sw in (10.0, 60.0, 100.0)
+            for fl in (1e-6, 0.03)
+            for g in (0.0, 2.0)
         ]
     table = sweep(args.cache, args.sample_rate, args.block_size, combos)
     with open(args.out, "w") as f:
