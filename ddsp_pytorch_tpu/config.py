@@ -113,9 +113,10 @@ class TrainConfig:
     # scalar pull stalls the dispatch pipeline; on remote-tunneled chips it
     # dominates wall clock).  1 = reference behavior (pull every step).
     metrics_flush_steps: int = 20
-    # bf16 matmuls for the NN (decoder/encoder); DSP synthesis stays f32
-    # (phase accumulation requires it — SURVEY.md §7 hard part #2).
-    use_bf16: bool = False
+    # (train.use_bf16 was deleted in round 5: measured strictly slower at
+    # the reference's 512-hidden shapes — docs/kernels.md "bf16 verdict".
+    # NN compute dtype remains settable per model via model.kwargs.dtype;
+    # DSP synthesis stays f32 regardless — SURVEY.md §7 hard part #2.)
     grad_clip_norm: Optional[float] = None
     # Linear LR decay: lr → lr_stop over lr_decay_steps, then constant.
     # The reference ships this schedule (utils.py:5-14) but never applies it

@@ -26,23 +26,22 @@ def load_model(config):
     """Build a model from a Config (or raw dict) by registry name.
 
     Mirrors reference train.py:31-43 (`load_model`).  `kwargs.dtype` may be
-    a string ("bfloat16"/"float32") for YAML friendliness; train.use_bf16
-    sets bf16 NN compute when kwargs don't specify a dtype.
+    a string ("bfloat16"/"float32") for YAML friendliness.  (The former
+    train.use_bf16 convenience knob was deleted in round 5 after the
+    step-breakdown measurement: bf16 NN compute is strictly slower at the
+    reference's 512-hidden shapes — docs/kernels.md "bf16 verdict".  The
+    model-level dtype kwarg remains for larger NN backbones.)
     """
     import jax.numpy as jnp
 
     if hasattr(config, "model"):
         name, kwargs = config.model.name, dict(config.model.kwargs)
-        use_bf16 = getattr(config.train, "use_bf16", False)
     else:
         name, kwargs = config["model"]["name"], dict(config["model"]["kwargs"])
-        use_bf16 = config.get("train", {}).get("use_bf16", False)
     if name not in MODEL_REGISTRY:
         raise ValueError(
             f"invalid model name: {name} (have {sorted(MODEL_REGISTRY)})"
         )
     if isinstance(kwargs.get("dtype"), str):
         kwargs["dtype"] = jnp.dtype(kwargs["dtype"]).type
-    elif "dtype" not in kwargs and use_bf16:
-        kwargs["dtype"] = jnp.bfloat16
     return MODEL_REGISTRY[name](**kwargs)
