@@ -59,6 +59,9 @@ class PreprocessConfig:
     # Pitch tracker configuration (the reference shells out to CREPE,
     # core.py:100-119; we ship a JAX YIN+Viterbi tracker, ops/pitch.py, and
     # a from-scratch-trainable CREPE-architecture convnet, models/crepe.py).
+    # Pitch search range in Hz — honored by EVERY tracker: yin's candidate
+    # grid, hybrid's YIN-evidence grid, and a salience mask for crepe
+    # (make_pitch_fn → models/crepe.py).
     pitch_fmin: float = 50.0
     pitch_fmax: float = 2000.0
     # "hybrid" (default: CREPE×YIN joint Viterbi, ≥ either parent on all

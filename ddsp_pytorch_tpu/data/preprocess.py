@@ -132,6 +132,11 @@ def make_pitch_fn(config: Config):
             f"unknown pitch_tracker: {tracker!r} (hybrid|yin|crepe)"
         )
     crepe_params = pc.crepe_params or default_crepe_params()
+    if crepe_params and not pathlib.Path(crepe_params).exists():
+        # frozen bundle configs may record a cwd-relative or training-host
+        # path (e.g. "pretrained/crepe_tiny.msgpack"); fall back to the
+        # shipped bundle rather than failing timbre transfer
+        crepe_params = default_crepe_params()
     if not crepe_params:
         raise ValueError(
             f"pitch_tracker: {tracker} needs preprocess.crepe_params "
@@ -152,8 +157,13 @@ def make_pitch_fn(config: Config):
                else extract_pitch_crepe)
 
     def pitch_fn(row, sample_rate, block_size):
+        # preprocess.pitch_fmin/pitch_fmax bound the search range for the
+        # neural trackers too: hybrid restricts its YIN-evidence grid,
+        # crepe masks salience bins outside the range (models/crepe.py).
         return extract(
-            row, sample_rate, block_size, bundle, capacity=pc.crepe_capacity
+            row, sample_rate, block_size, bundle,
+            capacity=pc.crepe_capacity,
+            fmin=pc.pitch_fmin, fmax=pc.pitch_fmax,
         )
 
     return pitch_fn

@@ -23,14 +23,25 @@ def extract_controls(
     *,
     pitch_fmin: float = 50.0,
     pitch_fmax: float = 2000.0,
+    pitch_fn=None,
 ):
-    """(T,) audio → (f0 (F,), loudness (F,)) frame-rate controls."""
+    """(T,) audio → (f0 (F,), loudness (F,)) frame-rate controls.
+
+    pitch_fn (optional, the data/preprocess.py make_pitch_fn contract
+    `(row, sample_rate, block_size) -> (F,)`) overrides the default YIN
+    tracker — timbre_transfer passes the bundle's frozen tracker so
+    inference-time pitch comes from the SAME estimator the model was
+    trained on.
+    """
     f = len(audio) // block_size
     audio = audio[: f * block_size]
-    f0 = np.asarray(
-        extract_pitch(audio, sample_rate, block_size, fmin=pitch_fmin,
-                      fmax=pitch_fmax)
-    )
+    if pitch_fn is not None:
+        f0 = np.asarray(pitch_fn(audio, sample_rate, block_size))
+    else:
+        f0 = np.asarray(
+            extract_pitch(audio, sample_rate, block_size, fmin=pitch_fmin,
+                          fmax=pitch_fmax)
+        )
     loud = np.asarray(
         extract_loudness(jnp.asarray(audio)[None], sample_rate, block_size)
     )[0]
@@ -63,10 +74,18 @@ def timbre_transfer(
     assert sample_rate == sr, f"resample input to {sr} Hz first"
     block = config.preprocess.block_size
 
+    # The bundle's frozen preprocess.pitch_tracker decides the estimator:
+    # a model trained on hybrid pitch gets hybrid pitch at transfer time
+    # (train/inference tracker mismatch degrades on noisy inputs —
+    # pretrained/pitch_robustness.json, YIN vs hybrid).  make_pitch_fn
+    # returns None for "yin", which is extract_controls' default path.
+    from ddsp_pytorch_tpu.data.preprocess import make_pitch_fn
+
     f0, loud = extract_controls(
         audio, sr, block,
         pitch_fmin=config.preprocess.pitch_fmin,
         pitch_fmax=config.preprocess.pitch_fmax,
+        pitch_fn=make_pitch_fn(config),
     )
     f0 = f0 * (2.0 ** octave_shift)
     loud = loud + loudness_shift

@@ -276,6 +276,8 @@ def extract_pitch_crepe(
     capacity: str = "tiny",
     viterbi: bool = True,
     batch_frames: int = 512,
+    fmin: float | None = None,
+    fmax: float | None = None,
 ):
     """Frame-rate f0 in Hz via the trained CREPE-architecture model.
 
@@ -286,11 +288,22 @@ def extract_pitch_crepe(
 
     `params` is the dict saved by scripts/train_crepe.py
     ({'params': ..., 'batch_stats': ...}).
+
+    fmin/fmax (Hz, optional) restrict the decode to a pitch range by
+    masking salience bins outside it — this is how
+    preprocess.pitch_fmin/pitch_fmax reach the neural trackers
+    (make_pitch_fn); None leaves the full 360-bin grid live.
     """
     n_out = int(jnp.shape(signal)[-1]) // int(block_size)
     salience, hop = crepe_salience(
         signal, sample_rate, block_size, params, capacity, batch_frames
     )
+    if fmin is not None or fmax is not None:
+        grid = cents_grid()
+        lo = 1200.0 * math.log2(fmin / 10.0) if fmin is not None else -np.inf
+        hi = 1200.0 * math.log2(fmax / 10.0) if fmax is not None else np.inf
+        keep = jnp.asarray((grid >= lo) & (grid <= hi))
+        salience = jnp.where(keep, salience, 0.0)
     cents = (
         viterbi_cents(salience) if viterbi else salience_to_cents(salience)
     )

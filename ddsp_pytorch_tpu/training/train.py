@@ -696,8 +696,17 @@ class Trainer:
                 if batch_index < skip:
                     continue
                 prev_step = step
+                # spc == 1 pays off ONLY through the fused in-scan gather
+                # (one program per step, device-cache loaders); for host
+                # loaders the stack+scan-of-1 would dispatch MORE programs
+                # (3 stacks + 1 scan) than the plain jitted step — fall
+                # back to run_single there.
+                spc1_fused = (
+                    device_indexed and self._multi_step_indexed is not None
+                )
                 use_multi = (
                     self._multi_step is not None
+                    and (self._spc > 1 or spc1_fused)
                     and step + self._spc <= total_steps
                     and not preempted["flag"]
                 )
@@ -761,12 +770,14 @@ class Trainer:
                     # is identical everywhere — it is host float math over
                     # the replicated per-step losses.
                     from ddsp_pytorch_tpu.training.state import (
+                        _all_leaves_single_device,
                         bulk_device_get,
                     )
 
                     self.checkpointer.save_best(
                         bulk_device_get(state.params)
                         if jax.process_count() == 1
+                        and _all_leaves_single_device(state.params)
                         else jax.device_get(state.params),
                         step, mean_loss,
                     )
@@ -810,18 +821,32 @@ class Trainer:
         # bulk pull makes the degraded regime start only after everything
         # is already on the host.
         if jax.process_count() == 1:
-            from ddsp_pytorch_tpu.training.state import bulk_device_get
+            from ddsp_pytorch_tpu.training.state import (
+                _all_leaves_single_device,
+                bulk_device_get,
+            )
 
             t_tail = time.time()
             entries = folded + pending
-            pulled = bulk_device_get(
-                {"metrics": [m for _, m in entries], "state": state}
-            )
+            if _all_leaves_single_device(state):
+                pulled = bulk_device_get(
+                    {"metrics": [m for _, m in entries], "state": state}
+                )
+                fetched, save_state = pulled["metrics"], pulled["state"]
+            else:
+                # single-process pjit mesh: the jitted pack would
+                # implicitly gather sharded leaves onto one device and
+                # persist host numpy instead of sharded arrays — same
+                # guard as Checkpointer.save (state.py).  Metrics are
+                # small replicated scalars; the state takes the plain
+                # sharding-aware Orbax path.
+                fetched = bulk_device_get([m for _, m in entries])
+                save_state = state
             self.metrics.add_scalar("tail_pull_s", time.time() - t_tail,
                                     step)
-            _consume_metrics(entries, pulled["metrics"])
+            _consume_metrics(entries, fetched)
             t_save = time.time()
-            self.checkpointer.save(pulled["state"], wait=True)
+            self.checkpointer.save(save_state, wait=True)
             self.metrics.add_scalar("tail_save_s", time.time() - t_save,
                                     step)
         else:

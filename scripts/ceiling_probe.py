@@ -37,44 +37,13 @@ sys.path.insert(0, REPO)
 
 
 def _write_config(root: str) -> str:
-    cfg = {
-        "data": {"data_location": os.path.join(root, "corpus")},
-        "preprocess": {
-            "sample_rate": 48000,
-            "signal_length": 192000,
-            "block_size": 512,
-            "out_dir": os.path.join(root, "cache"),
-        },
-        "model": {
-            "name": "single-inst-decoder",
-            "kwargs": {
-                "hidden_size": 512,
-                "n_harmonic": 64,
-                "n_bands": 65,
-                "sample_rate": 48000,
-                "block_size": 512,
-                "has_reverb": True,
-            },
-        },
-        "train": {
-            "scales": [4096, 2048, 1024, 512, 256, 128],
-            "overlap": 0.75,
-            "batch": 16,
-            "lr": 1.0e-3,
-            "steps": 10**9,
-            "metrics_flush_steps": 1000000000,
-            "checkpoint_every_steps": 0,
-            "val_interval_epochs": 0,
-            "log_interval_epochs": 0,
-            "keep_checkpoints": 2,
-        },
-    }
-    import yaml
+    from _workload import write_workload_yaml
 
-    path = os.path.join(root, "ceiling.yaml")
-    with open(path, "w") as f:
-        yaml.safe_dump(cfg, f)
-    return path
+    return write_workload_yaml(
+        os.path.join(root, "ceiling.yaml"),
+        data_location=os.path.join(root, "corpus"),
+        out_dir=os.path.join(root, "cache"),
+    )
 
 
 def _prep(root: str, cfg_path: str) -> None:
@@ -97,6 +66,11 @@ if not os.path.exists(os.path.join(cfg.preprocess.out_dir, 'train', 'signals.npy
 print('prep done')
 """
     subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def _fmt_s(wall) -> str:
+    """Seconds for the log line; timed-out children report wall=None."""
+    return f"{wall:.1f}s" if wall is not None else "--s"
 
 
 def _child(cfg_path, root, boundary, spc, unroll, timeout_s):
@@ -136,7 +110,9 @@ def main():
     t0 = time.time()
     print("[ceiling] prime-stats child ...", flush=True)
     wall, status = _child(cfg_path, args.root, 0, 1, 1, args.child_timeout)
-    print(f"[ceiling] prime: {wall:.1f}s {status}", flush=True)
+    # wall is None when the child timed out — keep the sweep alive and
+    # record the status instead of crashing on the format
+    print(f"[ceiling] prime: {_fmt_s(wall)} {status}", flush=True)
 
     configs = []
     for tok in args.configs.split(","):
@@ -167,7 +143,7 @@ def main():
             "steps_per_call": spc,
             "unroll": unroll,
             "warm_steps": warm,
-            "warm_wall_s": round(w_wall, 1),
+            "warm_wall_s": round(w_wall, 1) if w_wall else None,
             "measured_steps": args.probe_steps,
             "measured_wall_s": round(m_wall, 1) if m_wall else None,
             "status": m_status,
@@ -179,7 +155,7 @@ def main():
             ),
         }
         rows.append(row)
-        print(f"[ceiling] spc={spc} u={unroll}: warm {w_wall:.1f}s, "
+        print(f"[ceiling] spc={spc} u={unroll}: warm {_fmt_s(w_wall)}, "
               f"measured {row['measured_wall_s']}s "
               f"-> {row['steps_per_s_wall']} steps/s ({m_status})",
               flush=True)

@@ -40,45 +40,18 @@ sys.path.insert(0, REPO)
 
 
 def _write_config(root: str, args) -> str:
-    import yaml
+    from _workload import write_workload_yaml
 
-    cfg = {
-        "data": {"data_location": os.path.join(root, "wavs")},
-        "preprocess": {
-            "sample_rate": 48000,
-            "signal_length": 192000,
-            "block_size": 512,
-            "out_dir": os.path.join(root, "cache"),
-        },
-        "model": {
-            "name": "single-inst-decoder",
-            "kwargs": {
-                "hidden_size": 512,
-                "n_harmonic": 64,
-                "n_bands": 65,
-                "sample_rate": 48000,
-                "block_size": 512,
-                "has_reverb": True,
-            },
-        },
-        "train": {
-            "scales": [4096, 2048, 1024, 512, 256, 128],
-            "overlap": 0.75,
+    return write_workload_yaml(
+        os.path.join(root, "sigmund.yaml"),
+        data_location=os.path.join(root, "wavs"),
+        out_dir=os.path.join(root, "cache"),
+        train={
             "batch": args.batch,
-            "lr": 1.0e-3,
             "steps": args.steps,
             "steps_per_call": args.steps_per_call,
-            "metrics_flush_steps": 1000000000,
-            "checkpoint_every_steps": 0,
-            "val_interval_epochs": 0,
-            "log_interval_epochs": 0,
-            "keep_checkpoints": 2,
         },
-    }
-    path = os.path.join(root, "sigmund.yaml")
-    with open(path, "w") as f:
-        yaml.safe_dump(cfg, f)
-    return path
+    )
 
 
 _PREP = r"""

@@ -45,50 +45,19 @@ def _write_config(
     Round 5: preprocessing runs the shipped DEFAULT tracker (hybrid =
     CREPE×YIN fusion) so the flagship artifact exercises the default
     pipeline end-to-end."""
-    cfg = {
-        "data": {"data_location": os.path.join(root, "corpus")},
-        "preprocess": {
-            "sample_rate": 48000,
-            "signal_length": 192000,
-            "block_size": 512,
-            "out_dir": os.path.join(root, "cache"),
-            "pitch_tracker": pitch_tracker,
-        },
-        "model": {
-            "name": "single-inst-decoder",
-            "kwargs": {
-                "hidden_size": 512,
-                "n_harmonic": 64,
-                "n_bands": 65,
-                "sample_rate": 48000,
-                "block_size": 512,
-                "has_reverb": True,
-            },
-        },
-        "train": {
-            "scales": [4096, 2048, 1024, 512, 256, 128],
-            "overlap": 0.75,
-            "batch": 16,
-            "lr": 1.0e-3,
+    from _workload import write_workload_yaml
+
+    return write_workload_yaml(
+        os.path.join(root, "trainrun.yaml"),
+        data_location=os.path.join(root, "corpus"),
+        out_dir=os.path.join(root, "cache"),
+        preprocess={"pitch_tracker": pitch_tracker},
+        train={
             "steps": steps,
             "steps_per_call": steps_per_call,
             "scan_unroll": unroll,
-            # pull-free segments: metrics flush + checkpoint only at the
-            # segment tail; no mid-run validation/media (each would pull
-            # device data and poison the process — BASELINE.md)
-            "metrics_flush_steps": 1000000000,
-            "checkpoint_every_steps": 0,
-            "val_interval_epochs": 0,
-            "log_interval_epochs": 0,
-            "keep_checkpoints": 2,
         },
-    }
-    import yaml
-
-    path = os.path.join(root, "trainrun.yaml")
-    with open(path, "w") as f:
-        yaml.safe_dump(cfg, f)
-    return path
+    )
 
 
 def _prep(args, root: str) -> None:

@@ -317,3 +317,73 @@ def test_robustness_artifact_hybrid_dominates():
         assert h >= y - eps and h >= c - eps, (
             f"{tag}: hybrid {h:.3f} < max(yin {y:.3f}, crepe {c:.3f})"
         )
+
+
+def test_extract_pitch_crepe_fmin_fmax_masks_decode_range():
+    """preprocess.pitch_fmin/pitch_fmax reach the crepe tracker as a
+    salience mask (make_pitch_fn): bins outside [fmin, fmax] cannot be
+    decoded.  An untrained micro net emits near-arbitrary salience, so
+    restricting the range to [300, 1000] Hz must confine the decoded
+    track there (weighted-average bleed is < half the ±4-bin window,
+    i.e. < 80 cents)."""
+    model, variables, _ = _init()
+    sr, block = 16000, 256
+    x = np.sin(2 * np.pi * 220.0 * np.arange(sr) / sr).astype(np.float32)
+    f0 = np.asarray(extract_pitch_crepe(
+        jnp.asarray(x), sr, block, variables, capacity="micro",
+        fmin=300.0, fmax=1000.0,
+    ))
+    assert f0.shape == (sr // block,)
+    lo, hi = 300.0 * 2 ** (-80 / 1200), 1000.0 * 2 ** (80 / 1200)
+    assert np.all(f0 >= lo) and np.all(f0 <= hi), (f0.min(), f0.max())
+
+
+def test_make_pitch_fn_passes_pitch_range(tmp_path):
+    """The config's pitch_fmin/pitch_fmax are honored by the neural
+    trackers (round-5 advisor finding: they were silently dead for
+    hybrid/crepe).  A crepe-tracker config restricted to [300, 1000] Hz
+    must never emit pitch below 250 Hz."""
+    from flax import serialization
+
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data.preprocess import make_pitch_fn
+
+    _, variables, _ = _init()
+    bundle = tmp_path / "crepe_micro.msgpack"
+    bundle.write_bytes(serialization.msgpack_serialize(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}))
+
+    cfg = Config.from_dict({
+        "preprocess": {"sample_rate": 16000, "signal_length": 8192,
+                       "block_size": 256, "pitch_tracker": "crepe",
+                       "crepe_params": str(bundle),
+                       "crepe_capacity": "micro",
+                       "pitch_fmin": 300.0, "pitch_fmax": 1000.0},
+    })
+    fn = make_pitch_fn(cfg)
+    x = np.sin(2 * np.pi * 220.0 * np.arange(8192) / 16000).astype(np.float32)
+    f0 = np.asarray(fn(jnp.asarray(x), 16000, 256))
+    assert np.all(f0 >= 250.0), f0.min()
+
+
+def test_make_pitch_fn_falls_back_when_recorded_path_missing(tmp_path):
+    """Frozen bundle configs may record a training-host crepe_params path
+    that does not exist at inference time; make_pitch_fn must fall back
+    to the shipped pretrained/crepe_tiny.msgpack instead of failing
+    timbre transfer."""
+    from ddsp_pytorch_tpu.config import Config
+    from ddsp_pytorch_tpu.data.preprocess import (
+        default_crepe_params,
+        make_pitch_fn,
+    )
+
+    if default_crepe_params() is None:
+        pytest.skip("shipped crepe_tiny.msgpack not present")
+    cfg = Config.from_dict({
+        "preprocess": {"sample_rate": 16000, "signal_length": 8192,
+                       "block_size": 256, "pitch_tracker": "hybrid",
+                       "crepe_params": str(tmp_path / "gone.msgpack")},
+    })
+    fn = make_pitch_fn(cfg)
+    assert fn is not None

@@ -71,3 +71,23 @@ def test_timbre_transfer_autoencoder(tmp_path):
     assert np.all(np.isfinite(out))
     f0_out = np.asarray(extract_pitch(out, sr, block))[8:-8]
     np.testing.assert_allclose(np.median(f0_out), 220.0, rtol=0.03)
+
+
+def test_extract_controls_custom_pitch_fn():
+    """timbre_transfer routes pitch through the bundle's frozen tracker
+    via the pitch_fn hook (make_pitch_fn contract) — the hook must win
+    over the default YIN path and keep the length contract."""
+    sr, block = 16000, 128
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+
+    calls = {}
+
+    def fake_pitch(row, sample_rate, block_size):
+        calls["args"] = (len(row), sample_rate, block_size)
+        return np.full(len(row) // block_size, 123.0, np.float32)
+
+    f0, loud = extract_controls(x, sr, block, pitch_fn=fake_pitch)
+    assert calls["args"] == (len(x) // block * block, sr, block)
+    assert f0.shape == loud.shape == (len(x) // block,)
+    np.testing.assert_allclose(f0, 123.0)

@@ -410,3 +410,52 @@ train:
     assert [s["label"] for s in segs] == ["prime-stats"] + ["train"] * 3
     assert [s["to_step"] for s in segs] == [0, 5, 10, 12]
     assert all(s["returncode"] == 0 for s in segs)
+
+
+def test_host_loader_spc1_stays_on_single_step_path(tmp_path):
+    """steps_per_call=1 with a HOST loader must run the plain jitted step:
+    the stack+scan-of-1 super-batch path dispatches MORE programs (3
+    stacks + 1 scan) than the single step, which through a high-latency
+    tunnel would be a ~4x honest-throughput regression on the default CLI
+    path.  The spc==1 amortization is only a win via the fused in-scan
+    gather of the device-cache loader (run_multi's indexed branch), which
+    the second half asserts IS taken there."""
+    from ddsp_pytorch_tpu.data import Datamodule
+    from ddsp_pytorch_tpu.training import Trainer
+
+    cfg, dm_host = _tiny_setup(tmp_path, steps=6)
+    cfg.train.steps_per_call = 1
+
+    trainer = Trainer(cfg, str(tmp_path / "run_spc1_host"),
+                      use_tensorboard=False)
+
+    def bomb(*a, **k):
+        raise AssertionError(
+            "multi-step path must not engage for host-loader spc==1"
+        )
+
+    trainer._multi_step = bomb if trainer._multi_step else trainer._multi_step
+    trainer._multi_step_indexed = bomb
+    try:
+        trainer.fit(dm_host)
+    finally:
+        trainer.close()
+
+    # device-cache loader: the fused indexed path MUST be taken at spc==1
+    dm_dev = Datamodule(cfg, device_cache=True)
+    dm_dev.setup()
+    trainer2 = Trainer(cfg, str(tmp_path / "run_spc1_dev"),
+                       use_tensorboard=False)
+    calls = {"n": 0}
+    orig = trainer2._multi_step_indexed
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    trainer2._multi_step_indexed = counting
+    try:
+        trainer2.fit(dm_dev)
+    finally:
+        trainer2.close()
+    assert calls["n"] > 0
