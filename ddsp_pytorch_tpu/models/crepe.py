@@ -379,12 +379,24 @@ def extract_pitch_hybrid(
         signal, sample_rate, block_size, params, capacity, batch_frames,
         fmin=fmin, fmax=fmax,
     )
+    # Exclude cents bins outside [fmin, fmax] from the DECODE too (same
+    # semantics as YIN's candidate grid / the crepe salience mask): a YIN
+    # grid narrower than CREPE's 360-bin range edge-clamps d' onto the
+    # out-of-range bins — replicating a subharmonic dip into a flat
+    # low-cost shelf (hybrid_evidence docstring) that the Viterbi could
+    # otherwise park on when make_pitch_fn passes preprocess.pitch_fmin
+    # (50 Hz default) instead of the full-grid 32–2100 defaults.
+    grid = cents_grid()
+    lo = 1200.0 * math.log2(fmin / 10.0)
+    hi = 1200.0 * math.log2(fmax / 10.0)
+    keep = jnp.asarray((grid >= lo) & (grid <= hi))
     n_out = int(jnp.shape(signal)[-1]) // int(block_size)
     f0 = decode_fused(salience, d_16, yin_weight=yin_weight,
                       crepe_weight=crepe_weight,
                       switch_per_octave=switch_per_octave,
                       salience_floor=salience_floor,
-                      confidence_gate=confidence_gate)
+                      confidence_gate=confidence_gate,
+                      keep=keep)
     return _interp_to_block_grid(f0, hop, n_out, block_size, sample_rate)
 
 
@@ -445,9 +457,14 @@ def decode_fused(
     switch_per_octave: float = 3.0,
     salience_floor: float = 1e-6,
     confidence_gate: float = 0.0,
+    keep=None,
 ):
     """Fused evidence → (F16,) f0 in Hz (Viterbi + local-average refine).
 
+    keep: optional (360,) bool mask of decodable bins — bins outside it
+    get an effectively infinite cost (and zero fused salience in the
+    refine), restricting the track to a pitch range the way YIN's
+    candidate grid does (extract_pitch_hybrid builds it from fmin/fmax).
     salience_floor: clip floor for −log S — caps how strongly CREPE can
     veto a bin it assigns ~zero salience (a higher floor hands broadband-
     noise frames to the YIN evidence).
@@ -469,6 +486,10 @@ def decode_fused(
         conf = salience.max(axis=-1, keepdims=True)
         crepe_cost = crepe_cost * conf ** gate_pow
     cost = crepe_weight * crepe_cost + yin_weight * d_16
+    if keep is not None:
+        # 1e6 ≫ any reachable in-range path cost (≤ ~20/frame·switch);
+        # exp(-(1e6 − min)) underflows to exactly 0 in the refine below.
+        cost = jnp.where(keep, cost, jnp.float32(1e6))
 
     bins_per_octave = 1200.0 / CENTS_PER_BIN
     dist_oct = (

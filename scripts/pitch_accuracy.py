@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
-                 crepe_capacity: str = "tiny", partition: str = "validation"):
+                 crepe_capacity: str = "tiny", partition: str = "validation",
+                 pitch_range=None):
     import numpy as np
 
     from ddsp_pytorch_tpu.data.fixtures import (
@@ -57,15 +58,21 @@ def score_corpus(corpus: str, block_size: int, crepe_bundle=None,
         with open(crepe_bundle, "rb") as f:
             params = serialization.msgpack_restore(f.read())
 
+        # pitch_range=(fmin, fmax) reproduces the make_pitch_fn
+        # preprocess path (the shipped default restricts the neural
+        # trackers to preprocess.pitch_fmin/pitch_fmax = 50-2000 Hz:
+        # a crepe salience mask + the hybrid fused-decode mask); None
+        # keeps the trackers' own wide defaults (the original artifact).
+        rng = dict(zip(("fmin", "fmax"), pitch_range)) if pitch_range else {}
         trackers["crepe"] = lambda sig: np.asarray(
             extract_pitch_crepe(sig, sr, block_size, params,
-                                capacity=crepe_capacity)
+                                capacity=crepe_capacity, **rng)
         )
         # the recommended robust path: CREPE x YIN fused decode
         # (models/crepe.py defaults, tuned by scripts/tune_hybrid_pitch.py)
         trackers["hybrid"] = lambda sig: np.asarray(
             extract_pitch_hybrid(sig, sr, block_size, params,
-                                 capacity=crepe_capacity)
+                                 capacity=crepe_capacity, **rng)
         )
 
     # accumulate per (tracker, family) and overall
@@ -109,7 +116,8 @@ def _fmt(x, spec: str = ".1f") -> str:
 
 
 def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
-                      crepe_capacity: str, n_validation: int = 9) -> dict:
+                      crepe_capacity: str, n_validation: int = 9,
+                      pitch_range=None) -> dict:
     """RPA degradation curves (round-2 VERDICT next-round #1): score YIN +
     CREPE on the SAME out-of-family notes under every named degradation
     condition (fixtures.DEGRADATIONS: SNR 20/10/0 dB pink noise, small-room
@@ -134,7 +142,8 @@ def robustness_report(sample_rate: int, block_size: int, crepe_bundle,
                         n_validation=n_validation, midi_range=midi_range,
                         seed=0, degrade_fn=degr)
         rep = score_corpus(corpus, block_size, crepe_bundle=crepe_bundle,
-                           crepe_capacity=crepe_capacity)
+                           crepe_capacity=crepe_capacity,
+                           pitch_range=pitch_range)
         # keep the summaries; per-file rows would repeat 2×9×N times
         out[bucket][tag] = {
             name: s for name, s in rep["summary"].items()
@@ -173,6 +182,12 @@ def main():
                    help="produce RPA degradation curves over all "
                         "fixtures.DEGRADATIONS conditions + pitch extremes")
     p.add_argument("--n-validation", type=int, default=9)
+    p.add_argument("--pitch-range", type=float, nargs=2, default=None,
+                   metavar=("FMIN", "FMAX"),
+                   help="restrict the neural trackers to [FMIN, FMAX] Hz "
+                        "the way make_pitch_fn does (e.g. 50 2000 = the "
+                        "shipped preprocess defaults); default: tracker "
+                        "defaults (full grid)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -183,7 +198,10 @@ def main():
     if args.degraded:
         out_path = args.out or "pretrained/pitch_robustness.json"
         report = robustness_report(args.sample_rate, args.block_size, crepe,
-                                   args.crepe_capacity, args.n_validation)
+                                   args.crepe_capacity, args.n_validation,
+                                   pitch_range=args.pitch_range)
+        if args.pitch_range:
+            report["pitch_range"] = list(args.pitch_range)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
@@ -201,7 +219,8 @@ def main():
         print(f"generated corpus at {corpus}")
 
     report = score_corpus(corpus, args.block_size, crepe_bundle=crepe,
-                          crepe_capacity=args.crepe_capacity)
+                          crepe_capacity=args.crepe_capacity,
+                          pitch_range=args.pitch_range)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

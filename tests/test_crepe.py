@@ -387,3 +387,25 @@ def test_make_pitch_fn_falls_back_when_recorded_path_missing(tmp_path):
     })
     fn = make_pitch_fn(cfg)
     assert fn is not None
+
+
+def test_extract_pitch_hybrid_fmin_fmax_masks_fused_decode():
+    """A narrowed pitch range must restrict the hybrid DECODE, not just
+    its YIN-evidence grid: a YIN grid narrower than CREPE's 360 bins
+    edge-clamps d' onto the out-of-range bins (a flat low-cost shelf —
+    hybrid_evidence docstring), so without a decode mask the Viterbi can
+    park below fmin.  With the mask, a [300, 1000] Hz range must confine
+    the track there (≤80-cent weighted-average bleed) even for an
+    out-of-range 220 Hz input and an untrained net."""
+    from ddsp_pytorch_tpu.models.crepe import extract_pitch_hybrid
+
+    model, variables, _ = _init()
+    sr, block = 16000, 256
+    x = np.sin(2 * np.pi * 220.0 * np.arange(sr) / sr).astype(np.float32)
+    f0 = np.asarray(extract_pitch_hybrid(
+        jnp.asarray(x), sr, block, variables, capacity="micro",
+        fmin=300.0, fmax=1000.0,
+    ))
+    assert f0.shape == (sr // block,)
+    lo, hi = 300.0 * 2 ** (-80 / 1200), 1000.0 * 2 ** (80 / 1200)
+    assert np.all(f0 >= lo) and np.all(f0 <= hi), (f0.min(), f0.max())
